@@ -1,0 +1,71 @@
+"""Headline benchmark: PV time-stretch pipeline throughput.
+
+Measures the BASELINE.md north-star path — load -> convert_to_PV ->
+stretch(2x) -> convert_to_audio — on 10 minutes of stereo 48 kHz audio and
+reports x-realtime per chip. vs_baseline is the ratio against the 50x
+real-time target (>= 1.0 beats the target).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from flan_tpu.ops import stft, pv_modify
+
+    sr = 48000.0
+    seconds = 600.0          # 10-minute stereo file (BASELINE.md target row)
+    window, hop, dft = 2048, 128, 4096
+    stretch_factor = 2.0
+
+    n = int(seconds * sr)
+    rng = np.random.default_rng(0)
+    t = np.arange(n, dtype=np.float32) / sr
+    x = np.stack([
+        0.4 * np.sin(2 * np.pi * 220.0 * t) + 0.1 * rng.standard_normal(n),
+        0.4 * np.sin(2 * np.pi * 330.0 * t) + 0.1 * rng.standard_normal(n),
+    ]).astype(np.float32)
+    x = jnp.asarray(x)
+
+    def pipeline(audio):
+        mag, freq = stft.pv_forward(
+            audio, window_size=window, hop=hop, dft_size=dft,
+            sample_rate=sr)
+        f = mag.shape[1]
+        time_map = jnp.cumsum(
+            jnp.full((f, 1), stretch_factor, jnp.float32), axis=0)
+        out_frames = int(np.ceil(f * stretch_factor))
+        s_mag, s_freq = pv_modify.modify_time_gather(
+            mag, freq, time_map, out_frames=out_frames)
+        return stft.pv_inverse(s_mag, s_freq, window_size=window, hop=hop,
+                               sample_rate=sr)
+
+    # warmup / compile
+    y = pipeline(x)
+    y.block_until_ready()
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y = pipeline(x)
+        y.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    xrt = seconds / best
+    target = 50.0
+    print(json.dumps({
+        "metric": "pv_stretch_x_realtime_10min_stereo_48k",
+        "value": round(xrt, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(xrt / target, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,22 @@
+"""flan_tpu: a TPU-native audio processing framework.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of the reference
+Flan library (phase-vocoder-centric offline audio processing). The compute
+path is batched tensor programs on TPU; see SURVEY.md for the layer map.
+"""
+from flan_tpu.core.audio_buffer import AudioBuffer, AudioFormat, SndfileStrings
+from flan_tpu.core.pv_buffer import PVBuffer, PVFormat
+from flan_tpu.audio.audio import Audio
+from flan_tpu.pv.pv import PV
+from flan_tpu.func.function import (Function, Function2d, adsr, as_function,
+                                    as_function2d, waveforms)
+from flan_tpu.func import interpolators
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Audio", "AudioBuffer", "AudioFormat", "SndfileStrings",
+    "PV", "PVBuffer", "PVFormat",
+    "Function", "Function2d", "adsr", "as_function", "as_function2d",
+    "waveforms", "interpolators",
+]

@@ -1,0 +1,235 @@
+"""Audio: time-domain algorithm surface.
+
+TPU-native re-design of the reference Audio class
+(reference: src/flan/Audio/Audio.h:25-1150). Audio is a stateless wrapper of
+AudioBuffer; every method is pure and returns a new Audio (the reference's
+const-method convention). Algorithms are batched JAX ops over the
+[channels, frames] array; per-method kernels live in flan_tpu.ops and
+sibling modules in flan_tpu.audio.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flan_tpu.core.audio_buffer import (AudioBuffer, AudioFormat,
+                                        SndfileStrings)
+from flan_tpu.func import interpolators
+from flan_tpu.func.function import Function, as_function
+from flan_tpu.ops import stft
+
+_SQRT2 = math.sqrt(2.0)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Audio(AudioBuffer):
+    """Audio data with algorithms (reference Audio/Audio.h)."""
+
+    def _with(self, **kwargs) -> "Audio":
+        return dataclasses.replace(self, **kwargs)
+
+    # =======================================================================
+    # Constructors (reference Audio.h:44-97, AudioConstructors.cpp)
+    # =======================================================================
+    @staticmethod
+    def create_null() -> "Audio":
+        return Audio()
+
+    @staticmethod
+    def create_from_buffer(buffer, num_channels: int,
+                           sample_rate: float) -> "Audio":
+        data = jnp.asarray(buffer, jnp.float32).reshape(num_channels, -1)
+        return Audio(data=data, sample_rate=float(sample_rate))
+
+    @staticmethod
+    def create_from_array(array, sample_rate: float = 48000.0) -> "Audio":
+        data = jnp.atleast_2d(jnp.asarray(array, jnp.float32))
+        return Audio(data=data, sample_rate=float(sample_rate))
+
+    @staticmethod
+    def create_from_format(fmt: AudioFormat) -> "Audio":
+        return Audio(data=jnp.zeros((fmt.num_channels, fmt.num_frames),
+                                    jnp.float32),
+                     sample_rate=float(fmt.sample_rate))
+
+    @staticmethod
+    def create_empty_with_length(length: float, num_channels: int = 1,
+                                 sample_rate: float = 48000.0) -> "Audio":
+        frames = int(math.ceil(length * sample_rate))
+        return Audio.create_empty_with_frames(frames, num_channels,
+                                              sample_rate)
+
+    @staticmethod
+    def create_empty_with_frames(num_frames: int, num_channels: int = 1,
+                                 sample_rate: float = 48000.0) -> "Audio":
+        return Audio(data=jnp.zeros((num_channels, num_frames), jnp.float32),
+                     sample_rate=float(sample_rate))
+
+    @staticmethod
+    def load_from_file(filename: str,
+                       return_strings: bool = False):
+        """Load WAV (reference AudioConstructors.cpp:35)."""
+        from flan_tpu.io.wav import read_wav
+        data, sr, strings = read_wav(filename)
+        audio = Audio(data=jnp.asarray(data), sample_rate=sr)
+        return (audio, strings) if return_strings else audio
+
+    def save_to_file(self, filename: str,
+                     strings: Optional[SndfileStrings] = None) -> None:
+        """Save WAV, float32 (reference AudioBuffer.cpp:139-190)."""
+        from flan_tpu.io.wav import write_wav
+        write_wav(filename, np.asarray(self.data), self.sample_rate, strings)
+
+    def copy(self) -> "Audio":
+        return self._with(data=self.data)
+
+    # =======================================================================
+    # Conversions (reference Audio.h:101-234)
+    # =======================================================================
+    def convert_to_PV(self, window_size: int = 2048, hop: int = 128,
+                      dft_size: int = 4096):
+        """STFT + phase vocode (reference Conversions/AudioPV.cpp:12-78)."""
+        from flan_tpu.pv.pv import PV
+        if self.is_null():
+            return PV.create_null()
+        mag, freq = stft.pv_forward(
+            self.data, window_size=window_size, hop=hop, dft_size=dft_size,
+            sample_rate=float(self.sample_rate))
+        return PV(mag=mag, freq=freq, sample_rate=float(self.sample_rate),
+                  hop_size=hop, window_size=window_size)
+
+    def convert_to_ms_PV(self, window_size: int = 2048, hop: int = 128,
+                         dft_size: int = 4096):
+        """Mid-side first, then PV (reference AudioPV.cpp:80-84)."""
+        from flan_tpu.pv.pv import PV
+        if self.num_channels != 2:
+            return PV.create_null()
+        return self.convert_to_mid_side().convert_to_PV(window_size, hop,
+                                                        dft_size)
+
+    def convert_to_mid_side(self) -> "Audio":
+        """L/R -> M/S with the reference's 1/sqrt(2) convention
+        (reference AudioConversions.cpp:32-51)."""
+        if self.is_null():
+            return Audio.create_null()
+        if self.num_channels != 2:
+            return self.copy()
+        m = (self.data[0] + self.data[1]) / _SQRT2
+        s = (self.data[0] - self.data[1]) / _SQRT2
+        return self._with(data=jnp.stack([m, s]))
+
+    def convert_to_left_right(self) -> "Audio":
+        """M/S -> L/R; self-inverse (reference AudioConversions.cpp:53-56)."""
+        return self.convert_to_mid_side()
+
+    def convert_to_stereo(self) -> "Audio":
+        """1 or 2 channels -> 2 (reference AudioConversions.cpp:58-85)."""
+        if self.is_null():
+            return Audio.create_null()
+        if self.num_channels == 2:
+            return self.copy()
+        if self.num_channels == 1:
+            mono = self.data[0] / _SQRT2
+            return self._with(data=jnp.stack([mono, mono]))
+        raise ValueError(
+            f"can't convert {self.num_channels} channels to stereo")
+
+    def convert_to_mono(self) -> "Audio":
+        """Average channels (reference AudioConversions.cpp:87-104)."""
+        if self.is_null():
+            return Audio.create_null()
+        mono = jnp.mean(self.data, axis=0, keepdims=True)
+        return self._with(data=mono)
+
+    def convert_to_function(self) -> Function:
+        """Audio as a Function of time (AudioConversions.cpp:106-123)."""
+        if self.is_null():
+            return Function(0.0)
+        mono = self.convert_to_mono().data[0]
+        sr = self.sample_rate
+        n = self.num_frames
+
+        def fn(t):
+            frame = jnp.asarray(t * sr, jnp.int32)
+            valid = (frame >= 0) & (frame < n)
+            return jnp.where(valid, mono[jnp.clip(frame, 0, n - 1)], 0.0)
+
+        return Function(fn)
+
+    # =======================================================================
+    # Channels (reference Audio.h:237-262, AudioChannels.cpp)
+    # =======================================================================
+    def split_channels(self) -> List["Audio"]:
+        return [self._with(data=self.data[c:c + 1])
+                for c in range(self.num_channels)]
+
+    @staticmethod
+    def combine_channels(channels: Sequence["Audio"]) -> "Audio":
+        """Stack all channels of all inputs (reference AudioChannels.cpp:31).
+        Shorter inputs are zero padded to the longest."""
+        ins = [a for a in channels if not a.is_null()]
+        if not ins:
+            return Audio.create_null()
+        max_frames = max(a.num_frames for a in ins)
+        rows = []
+        for a in ins:
+            d = a.data
+            if a.num_frames < max_frames:
+                d = jnp.pad(d, [(0, 0), (0, max_frames - a.num_frames)])
+            rows.append(d)
+        return Audio(data=jnp.concatenate(rows, axis=0),
+                     sample_rate=ins[0].sample_rate)
+
+    # =======================================================================
+    # Information (reference Audio.h:266-373)
+    # =======================================================================
+    def get_total_energy(self) -> np.ndarray:
+        """Per-channel sum of squares (reference AudioInformation.cpp)."""
+        return np.asarray(jnp.sum(jnp.square(self.data), axis=-1))
+
+    def get_energy_difference(self, other: "Audio") -> np.ndarray:
+        """Energy of the per-sample difference; the reference documents this
+        as its unit-testing oracle (reference Audio.h:275-279)."""
+        n = min(self.num_frames, other.num_frames)
+        c = min(self.num_channels, other.num_channels)
+        diff = self.data[:c, :n] - other.data[:c, :n]
+        return np.asarray(jnp.sum(jnp.square(diff), axis=-1))
+
+    # =======================================================================
+    # Basic temporal / volume ops (more in audio/temporal.py, volume.py)
+    # =======================================================================
+    def reverse(self) -> "Audio":
+        """(reference AudioTemporal.cpp)"""
+        return self._with(data=self.data[:, ::-1])
+
+    def invert_phase(self) -> "Audio":
+        """(reference AudioVolume.cpp)"""
+        return self._with(data=-self.data)
+
+    def modify_volume(self, gain) -> "Audio":
+        """output(t) = input(t) * gain(t) (reference AudioVolume.cpp:5)."""
+        g = as_function(gain)
+        if g.is_constant:
+            return self._with(data=self.data * g.constant_value)
+        t = jnp.arange(self.num_frames, dtype=jnp.float32) / self.sample_rate
+        return self._with(data=self.data * g(t)[None, :])
+
+    def set_volume(self, level) -> "Audio":
+        """Normalize then scale by level (reference AudioVolume.cpp)."""
+        peak = jnp.max(jnp.abs(self.data))
+        normalized = self._with(
+            data=self.data / jnp.where(peak > 0, peak, 1.0))
+        return normalized.modify_volume(level)
+
+    def ring_modulate(self, other: "Audio") -> "Audio":
+        """Sample-wise product (reference AudioVolume.cpp)."""
+        n = min(self.num_frames, other.num_frames)
+        c = min(self.num_channels, other.num_channels)
+        return self._with(data=self.data[:c, :n] * other.data[:c, :n])

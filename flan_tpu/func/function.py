@@ -1,0 +1,213 @@
+"""Function layer: constant-or-callable algorithm parameters.
+
+TPU-native re-design of the reference's Function<I, O> system
+(reference: src/flan/Function.h:35-300, FunctionSample.h:18-199). The
+reference stores a std::variant<constant, std::function> plus an execution
+policy and rasterizes onto frame grids with parallel STL. Here a Function
+wraps a constant or a JAX-traceable callable; rasterization is one vmapped
+evaluation on a device grid, and XLA owns scheduling, so the ExecutionPolicy
+enum disappears (SURVEY.md section 7).
+
+Constants short-circuit: sampling a constant returns a scalar, which keeps
+downstream ops cheap exactly like the reference's variant fast path.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FunctionLike = Union[float, int, "Function", Callable]
+
+
+class Function:
+    """A constant or a callable over one scalar input (usually time)."""
+
+    def __init__(self, f: FunctionLike):
+        if isinstance(f, Function):
+            self._const = f._const
+            self._fn = f._fn
+        elif callable(f):
+            self._const = None
+            self._fn = f
+        else:
+            self._const = float(f)
+            self._fn = None
+
+    @property
+    def is_constant(self) -> bool:
+        return self._const is not None
+
+    @property
+    def constant_value(self) -> float:
+        return self._const
+
+    def __call__(self, x):
+        if self._const is not None:
+            return (jnp.full(jnp.shape(x), self._const, jnp.float32)
+                    if hasattr(x, "shape") or isinstance(x, (list, tuple))
+                    else self._const)
+        return self._fn(x)
+
+    def sample(self, start: int, end: int, period: float):
+        """Rasterize onto the grid (start..end-1) * period.
+
+        Matches reference Function::sample (Function.h:139-187). Constants
+        return a python float; callables return a [end-start] float32 array.
+        """
+        if self._const is not None:
+            return self._const
+        grid = jnp.arange(start, end, dtype=jnp.float32) * period
+        return _vector_eval(self._fn, grid)
+
+    def periodize(self, period: float = 1.0) -> "Function":
+        """Repeat this function with the given period (Function.h:128-137)."""
+        if self._const is not None:
+            return self
+        fn = self._fn
+        return Function(lambda t: fn(jnp.mod(t, period)))
+
+    # Arithmetic composition helpers
+    def __mul__(self, other):
+        return _binary(self, other, lambda a, b: a * b)
+
+    def __add__(self, other):
+        return _binary(self, other, lambda a, b: a + b)
+
+    def __neg__(self):
+        if self._const is not None:
+            return Function(-self._const)
+        fn = self._fn
+        return Function(lambda t: -fn(t))
+
+
+class Function2d:
+    """A constant or a callable over (time, frequency) pairs.
+
+    Mirrors Function<TF, O> (reference Function.h, TF defined defines.h).
+    Callables take (t, f) broadcastable arrays.
+    """
+
+    def __init__(self, f: FunctionLike):
+        if isinstance(f, Function2d):
+            self._const = f._const
+            self._fn = f._fn
+        elif isinstance(f, Function):
+            self._const = f._const
+            fn = f._fn
+            self._fn = None if fn is None else (lambda t, fr: fn(t))
+        elif callable(f):
+            self._const = None
+            self._fn = f
+        else:
+            self._const = float(f)
+            self._fn = None
+
+    @property
+    def is_constant(self) -> bool:
+        return self._const is not None
+
+    @property
+    def constant_value(self) -> float:
+        return self._const
+
+    def __call__(self, t, f):
+        if self._const is not None:
+            shape = jnp.broadcast_shapes(jnp.shape(t), jnp.shape(f))
+            return jnp.full(shape, self._const, jnp.float32)
+        return self._fn(t, f)
+
+    def sample_grid(self, num_frames: int, frame_period: float,
+                    num_bins: int, bin_width: float):
+        """Rasterize over the frame x bin grid.
+
+        Matches Function::sample 2d (Function.h:157-187): returns a python
+        float for constants, else a [num_frames, num_bins] float32 array.
+        """
+        if self._const is not None:
+            return self._const
+        t = jnp.arange(num_frames, dtype=jnp.float32) * frame_period
+        f = jnp.arange(num_bins, dtype=jnp.float32) * bin_width
+        return _vector_eval2(self._fn, t[:, None], f[None, :])
+
+
+def _vector_eval(fn, grid):
+    """Evaluate fn on an array, falling back to per-element numpy."""
+    try:
+        out = fn(grid)
+        out = jnp.asarray(out, jnp.float32)
+        return jnp.broadcast_to(out, grid.shape)
+    except Exception:
+        g = np.asarray(grid)
+        return jnp.asarray([float(fn(float(x))) for x in g], jnp.float32)
+
+
+def _vector_eval2(fn, t, f):
+    try:
+        out = jnp.asarray(fn(t, f), jnp.float32)
+        return jnp.broadcast_to(
+            out, jnp.broadcast_shapes(jnp.shape(t), jnp.shape(f)))
+    except Exception:
+        tn, fn_grid = np.broadcast_arrays(np.asarray(t), np.asarray(f))
+        flat = [float(fn(float(a), float(b)))
+                for a, b in zip(tn.ravel(), fn_grid.ravel())]
+        return jnp.asarray(flat, jnp.float32).reshape(tn.shape)
+
+
+def as_function(f: FunctionLike) -> Function:
+    return f if isinstance(f, Function) else Function(f)
+
+
+def as_function2d(f) -> Function2d:
+    return f if isinstance(f, Function2d) else Function2d(f)
+
+
+# --- ADSR (reference Function.h:281-300, Function.cpp) -----------------------
+def adsr(attack_time: float, decay_time: float, sustain_time: float,
+         release_time: float, sustain_level: float,
+         attack_exponent: float = 1.0, decay_exponent: float = 1.0,
+         release_exponent: float = 1.0) -> Function:
+    """ADSR envelope Function from 0 to 1 with power curves."""
+    a, d, s, r = attack_time, decay_time, sustain_time, release_time
+
+    def env(t):
+        t = jnp.asarray(t, jnp.float32)
+        attack = jnp.where(
+            a > 0, jnp.power(jnp.clip(t / jnp.maximum(a, 1e-20), 0, 1),
+                             attack_exponent), 1.0)
+        decay = 1.0 + (sustain_level - 1.0) * jnp.power(
+            jnp.clip((t - a) / jnp.maximum(d, 1e-20), 0, 1), decay_exponent)
+        release = sustain_level * (1.0 - jnp.power(
+            jnp.clip((t - a - d - s) / jnp.maximum(r, 1e-20), 0, 1),
+            release_exponent))
+        out = jnp.where(t < a, attack,
+                        jnp.where(t < a + d, decay,
+                                  jnp.where(t < a + d + s, sustain_level,
+                                            release)))
+        return jnp.where((t < 0) | (t > a + d + s + r), 0.0, out)
+
+    return Function(env)
+
+
+# --- Waveforms (reference Function.h:295-300; period and amplitude 1) --------
+class waveforms:
+    @staticmethod
+    def sine(t):
+        return jnp.sin(2.0 * jnp.pi * jnp.asarray(t, jnp.float32))
+
+    @staticmethod
+    def square(t):
+        return jnp.where(jnp.mod(jnp.asarray(t, jnp.float32), 1.0) < 0.5,
+                         -1.0, 1.0)
+
+    @staticmethod
+    def saw(t):
+        return 2.0 * jnp.mod(jnp.asarray(t, jnp.float32), 1.0) - 1.0
+
+    @staticmethod
+    def triangle(t):
+        m = jnp.mod(jnp.asarray(t, jnp.float32), 1.0)
+        return jnp.where(m < 0.5, 4.0 * m - 1.0, 3.0 - 4.0 * m)
