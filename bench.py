@@ -17,7 +17,7 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from flan_tpu.ops import stft, pv_modify
+    from flan_tpu.pipelines import pv_stretch_pipeline
 
     sr = 48000.0
     seconds = 600.0          # 10-minute stereo file (BASELINE.md target row)
@@ -34,27 +34,24 @@ def main():
     x = jnp.asarray(x)
 
     def pipeline(audio):
-        mag, freq = stft.pv_forward(
-            audio, window_size=window, hop=hop, dft_size=dft,
-            sample_rate=sr)
-        f = mag.shape[1]
-        time_map = jnp.cumsum(
-            jnp.full((f, 1), stretch_factor, jnp.float32), axis=0)
-        out_frames = int(np.ceil(f * stretch_factor))
-        s_mag, s_freq = pv_modify.modify_time_gather(
-            mag, freq, time_map, out_frames=out_frames)
-        return stft.pv_inverse(s_mag, s_freq, window_size=window, hop=hop,
-                               sample_rate=sr)
+        return pv_stretch_pipeline(
+            audio, stretch_factor, window_size=window, hop=hop,
+            dft_size=dft, sample_rate=sr)
 
-    # warmup / compile
-    y = pipeline(x)
-    y.block_until_ready()
+    # barrier: block_until_ready alone is unreliable through the remote
+    # tunnel; a tiny device->host fetch guarantees completion.
+    def run_and_sync(audio):
+        y = pipeline(audio)
+        y.block_until_ready()
+        float(jnp.sum(y[..., ::65536]))
+        return y
+
+    run_and_sync(x)  # warmup / compile
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        y = pipeline(x)
-        y.block_until_ready()
+        run_and_sync(x)
         times.append(time.perf_counter() - t0)
     best = min(times)
     xrt = seconds / best

@@ -1,0 +1,35 @@
+"""Audio algorithm surface: binds method groups onto the Audio class.
+
+The reference splits Audio's ~90 methods across 10 translation units
+(AudioTemporal.cpp, AudioVolume.cpp, ...); here each group is a module of
+plain functions bound as methods, keeping files reviewable while users see
+one Audio class.
+"""
+from flan_tpu.audio.audio import Audio
+from flan_tpu.audio import combination as _combination
+from flan_tpu.audio import temporal as _temporal
+from flan_tpu.audio import volume as _volume
+
+
+def _bind(module, names):
+    for name in names:
+        setattr(Audio, name, getattr(module, name))
+
+
+_bind(_temporal, [
+    "modify_boundaries_frames", "modify_boundaries", "cut", "cut_frames",
+    "fade", "fade_frames", "remove_edge_silence", "get_loud_chunks",
+    "remove_silence", "split_at_times", "split_with_lengths",
+    "split_with_equal_lengths", "rearrange", "random_chunks", "repitch",
+    "iterate",
+])
+_bind(_volume, [
+    "waveshape", "add_moisture", "compress", "apply_adsr_envelope",
+    "apply_ar_envelope",
+])
+Audio.convolve = _combination.convolve
+Audio.mix = staticmethod(_combination.mix)
+Audio.join = staticmethod(_combination.join)
+Audio.select = staticmethod(_combination.select)
+
+__all__ = ["Audio"]

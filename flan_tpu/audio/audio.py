@@ -93,6 +93,19 @@ class Audio(AudioBuffer):
     # =======================================================================
     # Conversions (reference Audio.h:101-234)
     # =======================================================================
+    def resample(self, new_sample_rate: float) -> "Audio":
+        """Whole-buffer SRC, r8brain equivalent (reference
+        AudioConversions.cpp:14-30) via polyphase windowed-sinc conv
+        (flan_tpu.ops.resample)."""
+        from flan_tpu.ops.resample import resample as _resample
+        if self.is_null():
+            return Audio.create_null()
+        if new_sample_rate == self.sample_rate:
+            return self.copy()
+        data = _resample(self.data, float(self.sample_rate),
+                         float(new_sample_rate))
+        return Audio(data=data, sample_rate=float(new_sample_rate))
+
     def convert_to_PV(self, window_size: int = 2048, hop: int = 128,
                       dft_size: int = 4096):
         """STFT + phase vocode (reference Conversions/AudioPV.cpp:12-78)."""

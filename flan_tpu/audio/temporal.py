@@ -1,0 +1,332 @@
+"""Audio temporal methods: boundaries, cuts, silence, splits, repitch.
+
+TPU-native re-design of the reference's temporal family
+(reference: src/flan/Audio/AudioTemporal.cpp). Attached to Audio as methods
+in flan_tpu.audio.__init__.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from flan_tpu.func import interpolators
+from flan_tpu.func.function import as_function
+from flan_tpu.ops import resample as resample_ops
+
+
+def modify_boundaries_frames(self, start: int, end: int):
+    """Pad/trim both ends: output covers [start, num_frames + end)
+    (reference AudioTemporal.cpp:96-114)."""
+    from flan_tpu.audio.audio import Audio
+    if self.is_null():
+        return Audio.create_null()
+    num_out = -start + self.num_frames + end
+    if num_out <= 0:
+        return Audio.create_null()
+    out = jnp.zeros((self.num_channels, num_out), jnp.float32)
+    src_lo = max(start, 0)
+    src_hi = min(self.num_frames, num_out + start)
+    if src_hi > src_lo:
+        dst_lo = src_lo - start
+        out = out.at[:, dst_lo:dst_lo + (src_hi - src_lo)].set(
+            self.data[:, src_lo:src_hi])
+    return self._with(data=out)
+
+
+def modify_boundaries(self, start: float, end: float):
+    return modify_boundaries_frames(self, self.time_to_frame(start),
+                                    self.time_to_frame(end))
+
+
+def cut_frames(self, start: int, end: int, start_fade: int = 0,
+               end_fade: int = 0):
+    """Keep [start, end) with sqrt fades (reference
+    AudioTemporal.cpp:207-234)."""
+    from flan_tpu.audio.audio import Audio
+    if self.is_null():
+        return Audio.create_null()
+    if end <= start:
+        return Audio.create_null()
+    start = int(np.clip(start, 0, self.num_frames - 1))
+    end = int(np.clip(end, 0, self.num_frames - 1))
+    if end <= start:
+        return Audio.create_null()
+    out = self._with(data=self.data[:, start:end])
+    return fade_frames(out, start_fade, end_fade, interpolators.sqrt)
+
+
+def cut(self, start: float, end: float, start_fade: float = 0.0,
+        end_fade: float = 0.0):
+    return cut_frames(self, self.time_to_frame(start),
+                      self.time_to_frame(end),
+                      self.time_to_frame(start_fade),
+                      self.time_to_frame(end_fade))
+
+
+def fade_frames(self, start: int = 16, end: int = 16,
+                interp=interpolators.sqrt):
+    """Fade ends in place of the reference's fade_frames
+    (reference AudioVolume.cpp fades; sqrt default for constant power)."""
+    if self.is_null():
+        return self
+    n = self.num_frames
+    start = int(np.clip(start, 0, n))
+    end = int(np.clip(end, 0, n))
+    if start + end > n:
+        # shrink proportionally like the reference's validation
+        scale = n / (start + end)
+        start = int(start * scale)
+        end = n - start
+    env = jnp.ones((n,), jnp.float32)
+    if start > 0:
+        ramp = interp(jnp.arange(start, dtype=jnp.float32) / start)
+        env = env.at[:start].set(ramp)
+    if end > 0:
+        ramp = interp(jnp.arange(end, dtype=jnp.float32) / end)
+        env = env.at[n - end:].set(ramp[::-1])
+    return self._with(data=self.data * env[None, :])
+
+
+def fade(self, start: float = 16.0 / 48000.0, end: float = 16.0 / 48000.0,
+         interp=interpolators.sqrt):
+    return fade_frames(self, self.time_to_frame(start),
+                       self.time_to_frame(end), interp)
+
+
+def _noisy_mask(self, non_silent_level: float) -> np.ndarray:
+    """Host-side per-frame 'any channel above level' mask
+    (reference's noisy-frame test, AudioTemporal.cpp:24-39)."""
+    return np.asarray(
+        jnp.any(self.data > non_silent_level, axis=0))
+
+
+def remove_edge_silence(self, non_silent_level: float,
+                        fade_in_time: float = 0.0):
+    """(reference AudioTemporal.cpp:124-153)"""
+    from flan_tpu.audio.audio import Audio
+    if self.is_null():
+        return Audio.create_null()
+    mask = _noisy_mask(self, non_silent_level)
+    idx = np.nonzero(mask)[0]
+    if len(idx) == 0:
+        return Audio.create_null()
+    start_frame, end_frame = int(idx[0]), int(idx[-1]) + 1
+    fade_frames_n = self.time_to_frame(fade_in_time)
+    start_fade = min(start_frame, fade_frames_n)
+    end_fade = min(self.num_frames - end_frame, fade_frames_n)
+    return cut_frames(self, start_frame - fade_frames_n,
+                      end_frame + fade_frames_n, start_fade, end_fade)
+
+
+def _loud_chunk_bounds(self, non_silent_level: float, minimum_gap: float
+                       ) -> List[tuple]:
+    """Find [start, last_noisy] spans separated by > gap quiet frames
+    (reference get_loud_chunks_base, AudioTemporal.cpp:10-50)."""
+    mask = _noisy_mask(self, non_silent_level)
+    gap_frames = self.time_to_frame(minimum_gap)
+    idx = np.nonzero(mask)[0]
+    if len(idx) == 0:
+        return []
+    # split where the gap between consecutive noisy frames exceeds gap
+    splits = np.nonzero(np.diff(idx) > gap_frames)[0]
+    starts = np.concatenate([[idx[0]], idx[splits + 1]])
+    ends = np.concatenate([idx[splits], [idx[-1]]])
+    bounds = list(zip(starts.tolist(), (ends + 1).tolist()))
+    # the reference extends the final chunk to the buffer end when the file
+    # ends while still noisy (AudioTemporal.cpp:47-48)
+    if len(bounds) > 0 and self.num_frames - bounds[-1][1] <= gap_frames:
+        bounds[-1] = (bounds[-1][0], self.num_frames)
+    return bounds
+
+
+def get_loud_chunks(self, non_silent_level: float, minimum_gap: float,
+                    fade_in_time: float = 0.0):
+    bounds = _loud_chunk_bounds(self, non_silent_level, minimum_gap)
+    fade_n = self.time_to_frame(fade_in_time)
+    chunks = []
+    for (a, b) in bounds:
+        lf = min(a, fade_n)
+        rf = min(self.num_frames - b, fade_n)
+        chunks.append(cut_frames(self, a - lf, b + rf, lf, rf))
+    return chunks
+
+
+def remove_silence(self, non_silent_level: float, minimum_gap: float,
+                   fade_in_time: float = 0.0):
+    """Join the loud chunks, overlapping fades
+    (reference AudioTemporal.cpp:164-172)."""
+    from flan_tpu.audio.audio import Audio
+    chunks = get_loud_chunks(self, non_silent_level, minimum_gap,
+                             fade_in_time)
+    if not chunks:
+        return Audio.create_null()
+    return Audio.join(chunks, offset=-2.0 * fade_in_time)
+
+
+def split_at_times(self, split_times: Sequence[float], fade: float = 0.0):
+    """(reference AudioTemporal.cpp:409-438)"""
+    if self.is_null():
+        return []
+    fade_n = self.time_to_frame(fade)
+    frames = [0]
+    for t in sorted(split_times):
+        f = self.time_to_frame(t)
+        if f <= 0:
+            continue
+        if f >= self.num_frames:
+            break
+        frames.append(f)
+    frames.append(self.num_frames)
+    return [cut_frames(self, a, b, fade_n, fade_n)
+            for a, b in zip(frames, frames[1:])]
+
+
+def split_with_lengths(self, split_lengths: Sequence[float],
+                       fade: float = 0.0):
+    lengths = [max(0.0, t) for t in split_lengths]
+    return split_at_times(self, list(np.cumsum(lengths)), fade)
+
+
+def split_with_equal_lengths(self, slice_length: float, fade: float = 0.0):
+    if slice_length <= 0:
+        return []
+    count = int(math.ceil(self.length / slice_length))
+    return split_with_lengths(self, [slice_length] * count, fade)
+
+
+def rearrange(self, slice_length: float, fade: float = 0.0, *, seed=None):
+    """Shuffle equal slices and re-join with crossfades
+    (reference AudioTemporal.cpp:463-482). Randomness is an explicit seed
+    (SURVEY.md section 7: reference uses wall-clock seeding)."""
+    from flan_tpu.audio.audio import Audio
+    if self.is_null():
+        return Audio.create_null()
+    chops = split_with_equal_lengths(self, slice_length + fade, fade)
+    if len(chops) < 2:
+        return Audio.create_null()
+    chops.pop()  # final slice usually isn't the correct length
+    rng = np.random.default_rng(seed)
+    rng.shuffle(chops)
+    return Audio.join(chops, offset=-fade)
+
+
+def random_chunks(self, length: float, chunk_length, fade=0.0, mod=None,
+                  *, seed=None):
+    """Random source chunks joined with crossfades
+    (reference AudioTemporal.cpp:484-546)."""
+    from flan_tpu.audio.audio import Audio
+    if self.is_null() or length <= 0:
+        return Audio.create_null()
+    chunk_fn = as_function(chunk_length)
+    fade_fn = as_function(fade)
+    sr = self.sample_rate
+    total_frames = self.time_to_frame(length)
+
+    # integrate 1/chunk_length over output frames to place chunk starts
+    starts = [0]
+    acc = 0.0
+    frame = 0
+    while frame < total_frames:
+        cl = float(np.clip(_eval_scalar(chunk_fn, frame / sr),
+                           32 / sr, max(self.length, 32 / sr)))
+        step = int(np.clip(round(cl * sr), 32, total_frames))
+        frame += step
+        starts.append(min(frame, total_frames))
+    sizes = np.diff(starts)
+    fades = [float(max(0.0, _eval_scalar(fade_fn, s / sr))) for s in starts]
+
+    rng = np.random.default_rng(seed)
+    chunks = []
+    for i, size in enumerate(sizes):
+        desired = int(size + self.time_to_frame(
+            (fades[i] + fades[i + 1]) / 2))
+        if desired >= self.num_frames:
+            start_frame = 0
+        else:
+            start_frame = int(rng.integers(0, self.num_frames - desired))
+        chunk = cut_frames(self, start_frame, start_frame + desired,
+                           self.time_to_frame(fades[i]),
+                           self.time_to_frame(fades[i + 1]))
+        if mod is not None:
+            chunk = mod(chunk, starts[i] / sr)
+        chunks.append(chunk)
+    offsets = [-f for f in fades]
+    return Audio.join(chunks, offsets=offsets)
+
+
+def _eval_scalar(fn, t: float) -> float:
+    v = fn(jnp.float32(t)) if not fn.is_constant else fn.constant_value
+    return float(np.asarray(v).reshape(()))
+
+
+def repitch(self, factor, granularity: float = 0.001,
+            quality: str = "sinc", num_taps: int = 32):
+    """Time-varying repitch (WDL-resampler equivalent; reference
+    AudioTemporal.cpp:236-299). The read-rate curve is sampled per
+    granularity block, integrated on host, then the output is one dense
+    windowed-sinc gather on device (flan_tpu.ops.resample)."""
+    from flan_tpu.audio.audio import Audio
+    if self.is_null():
+        return Audio.create_null()
+    gran = max(1, self.time_to_frame(granularity))
+    fn = as_function(factor)
+    nblocks = int(math.ceil(self.num_frames / gran))
+    tgrid = np.arange(nblocks, dtype=np.float64) * granularity
+    if fn.is_constant:
+        rates = np.full(nblocks, fn.constant_value, np.float64)
+    else:
+        rates = np.asarray(fn(jnp.asarray(tgrid, jnp.float32)),
+                           np.float64).reshape(-1)
+    # reference clamps 1/factor to [1/1000, 1000] (AudioTemporal.cpp:247-249)
+    rates = np.clip(rates, 1.0 / 1000.0, 1000.0)
+
+    # Each block of `gran` INPUT frames becomes gran/rate output frames; the
+    # read rate (input frames per output frame) within that block is `rate`.
+    out_per_block = gran / rates
+    out_starts = np.concatenate([[0.0], np.cumsum(out_per_block)])
+    num_out = int(math.ceil(out_starts[-1]))
+    in_starts = np.arange(nblocks, dtype=np.float64) * gran
+
+    # per-output-frame read position: piecewise linear
+    out_frames = np.arange(num_out, dtype=np.float64)
+    block_of = np.clip(np.searchsorted(out_starts, out_frames,
+                                       side="right") - 1, 0, nblocks - 1)
+    positions = (in_starts[block_of]
+                 + (out_frames - out_starts[block_of]) * rates[block_of])
+    cutoff = np.minimum(1.0, 1.0 / rates[block_of])
+
+    if quality == "linear":
+        pos = jnp.asarray(positions, jnp.float32)
+        base = jnp.floor(pos).astype(jnp.int32)
+        frac = (pos - base)[None, :]
+        n = self.num_frames
+        lo = jnp.take(self.data, jnp.clip(base, 0, n - 1), axis=-1)
+        hi = jnp.take(self.data, jnp.clip(base + 1, 0, n - 1), axis=-1)
+        data = lo * (1 - frac) + hi * frac
+    else:
+        data = resample_ops.fractional_gather(
+            self.data, jnp.asarray(positions, jnp.float32),
+            jnp.asarray(cutoff, jnp.float32), num_taps=num_taps)
+    return self._with(data=data)
+
+
+def iterate(self, n: int, crossfade_time: float = 0.0, mod=None,
+            feedback: bool = False):
+    """Repeat n times, optionally modding each iteration
+    (reference AudioTemporal.cpp:301-324)."""
+    from flan_tpu.audio.audio import Audio
+    if self.is_null() or n < 1:
+        return Audio.create_null()
+    if mod is None:
+        return Audio.join([self] * n, offset=-crossfade_time)
+    outs = []
+    current = self
+    for i in range(n):
+        source = current if (feedback and i > 0) else self
+        modded = mod(source, i * self.length)
+        outs.append(modded)
+        current = modded
+    return Audio.join(outs, offset=-crossfade_time)
