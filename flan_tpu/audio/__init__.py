@@ -7,6 +7,7 @@ one Audio class.
 """
 from flan_tpu.audio.audio import Audio
 from flan_tpu.audio import combination as _combination
+from flan_tpu.audio import filters as _filters
 from flan_tpu.audio import temporal as _temporal
 from flan_tpu.audio import volume as _volume
 
@@ -26,6 +27,16 @@ _bind(_temporal, [
 _bind(_volume, [
     "waveshape", "add_moisture", "compress", "apply_adsr_envelope",
     "apply_ar_envelope",
+])
+_bind(_filters, [
+    "filter_1pole_lowpass", "filter_1pole_highpass", "filter_1pole_split",
+    "filter_1pole_lowshelf", "filter_1pole_highshelf",
+    "filter_1pole_repeat_low", "filter_1pole_repeat_high",
+    "filter_2pole_lowpass", "filter_2pole_bandpass", "filter_2pole_highpass",
+    "filter_2pole_notch", "filter_2pole_split", "filter_2pole_lowshelf",
+    "filter_2pole_bandshelf", "filter_2pole_highshelf",
+    "filter_1pole_multinotch", "filter_2pole_multinotch", "filter_comb",
+    "halfband_modulate", "shift_frequency", "halfband_multiply",
 ])
 Audio.convolve = _combination.convolve
 Audio.mix = staticmethod(_combination.mix)
