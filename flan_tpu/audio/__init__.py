@@ -8,6 +8,9 @@ one Audio class.
 from flan_tpu.audio.audio import Audio
 from flan_tpu.audio import combination as _combination
 from flan_tpu.audio import filters as _filters
+from flan_tpu.audio import information as _information
+from flan_tpu.audio import spatial as _spatial
+from flan_tpu.audio import synthesis as _synthesis
 from flan_tpu.audio import temporal as _temporal
 from flan_tpu.audio import volume as _volume
 
@@ -22,8 +25,24 @@ _bind(_temporal, [
     "fade", "fade_frames", "remove_edge_silence", "get_loud_chunks",
     "remove_silence", "split_at_times", "split_with_lengths",
     "split_with_equal_lengths", "rearrange", "random_chunks", "repitch",
-    "iterate",
+    "iterate", "delay",
 ])
+_bind(_information, [
+    "get_local_wavelength", "get_local_wavelengths",
+    "get_average_wavelength", "get_local_frequency",
+    "get_local_frequencies", "get_amplitude_envelope",
+    "get_frequency_envelope",
+])
+_bind(_spatial, ["pan", "widen", "stereo_spatialize"])
+_bind(_synthesis, ["texture", "texture_effect", "granulate", "psola"])
+Audio.synthesize_waveform = staticmethod(_synthesis.synthesize_waveform)
+Audio.synthesize_white_noise = staticmethod(
+    _synthesis.synthesize_white_noise)
+Audio.synthesize_pink_noise = staticmethod(_synthesis.synthesize_pink_noise)
+Audio.synthesize_spectrum = staticmethod(_synthesis.synthesize_spectrum)
+Audio.synthesize_impulse = staticmethod(_synthesis.synthesize_impulse)
+Audio.synthesize_grains = staticmethod(_synthesis.synthesize_grains)
+Audio.synthesize_trainlets = staticmethod(_synthesis.synthesize_trainlets)
 _bind(_volume, [
     "waveshape", "add_moisture", "compress", "apply_adsr_envelope",
     "apply_ar_envelope",

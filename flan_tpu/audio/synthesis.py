@@ -1,0 +1,451 @@
+"""Audio synthesis and granular engine.
+
+TPU-native re-design of the reference synthesis family
+(reference: src/flan/Audio/AudioSynthesis.cpp). Waveform phase accumulation
+is a mod-1 associative scan; noise uses explicit jax.random keys (the
+reference seeds from wall clock - SURVEY.md section 7 makes randomness
+reproducible); grain scheduling integrates event rates on host (tiny control
+data) and mixes grains with the batched mixer. Attached to Audio in
+flan_tpu.audio.__init__.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flan_tpu.func.function import Function, as_function, waveforms
+from flan_tpu.ops.resample import fractional_gather
+from flan_tpu.ops.windows import hann
+
+
+def _sample_fn(fn, count: int, period: float):
+    f = as_function(fn)
+    if f.is_constant:
+        return np.full(count, f.constant_value, np.float64)
+    grid = jnp.arange(count, dtype=jnp.float32) * period
+    vals = np.asarray(f(grid), np.float64).reshape(-1)
+    return np.broadcast_to(vals, (count,)) if vals.size == 1 else vals
+
+
+def synthesize_waveform(waveform, length: float, freq,
+                        sample_rate: float = 48000.0,
+                        oversample: int = 16):
+    """Waveform synthesis: phase = mod-1 scan of frequency at the
+    oversampled rate, evaluate, then downsample
+    (reference AudioSynthesis.cpp:25-69)."""
+    from flan_tpu.audio.audio import Audio
+    if oversample < 1 or length <= 0 or sample_rate <= 0:
+        return Audio.create_null()
+    out_frames = int(length * sample_rate)
+    in_rate = sample_rate * oversample
+    n_in = out_frames * oversample
+
+    f = as_function(freq)
+    if f.is_constant:
+        inc = jnp.full((n_in,), f.constant_value / in_rate, jnp.float32)
+    else:
+        t = jnp.arange(n_in, dtype=jnp.float32) / in_rate
+        inc = jnp.broadcast_to(jnp.asarray(f(t), jnp.float32),
+                               (n_in,)) / in_rate
+    inc = jnp.mod(inc, 1.0)
+    # exclusive mod-1 scan (reference uses exclusive_scan with fmod)
+    cycles = jax.lax.associative_scan(lambda a, b: jnp.mod(a + b, 1.0), inc)
+    phases = jnp.concatenate([jnp.zeros((1,)), cycles[:-1]])
+
+    wave_fn = as_function(waveform)
+    samples = jnp.asarray(wave_fn(phases), jnp.float32)[None, :]
+    over_audio = Audio(data=samples, sample_rate=in_rate)
+    return over_audio.resample(sample_rate)
+
+
+def synthesize_white_noise(length: float, sample_rate: float = 48000.0,
+                           oversample: int = 16, *, seed: int = 0):
+    """(reference AudioSynthesis.cpp:71-89)"""
+    from flan_tpu.audio.audio import Audio
+    if oversample < 1 or length <= 0 or sample_rate <= 0:
+        return Audio.create_null()
+    n = int(length * sample_rate * oversample)
+    key = jax.random.PRNGKey(seed)
+    data = jax.random.uniform(key, (1, n), jnp.float32, -1.0, 1.0)
+    return Audio(data=data,
+                 sample_rate=sample_rate * oversample).resample(sample_rate)
+
+
+def synthesize_pink_noise(length: float, sample_rate: float = 48000.0,
+                          num_rows: int = 128, *, seed: int = 0):
+    """Voss-McCartney pink noise (reference AudioSynthesis.cpp:91-149).
+
+    Vectorized: each row r holds at updates spaced 2^(r+1) frames apart;
+    its piecewise-constant series is a repeat-expansion of per-update
+    randoms, so the whole generator is a sum of log2(num_rows) expanded
+    random sequences plus per-frame white noise - no sequential loop.
+    """
+    from flan_tpu.audio.audio import Audio
+    if length <= 0 or sample_rate <= 0 or num_rows < 1:
+        return Audio.create_null()
+    n = int(length * sample_rate)
+    key = jax.random.PRNGKey(seed)
+    nbits = max(1, int(math.log2(max(num_rows, 2))))
+    total = jnp.zeros((n,), jnp.float32)
+    for r in range(nbits):
+        stride = 1 << (r + 1)
+        count = n // stride + 2
+        key, sub = jax.random.split(key)
+        vals = jax.random.uniform(sub, (count,), jnp.float32, -1.0, 1.0)
+        series = jnp.repeat(vals, stride)[:n]
+        total = total + series
+    key, sub = jax.random.split(key)
+    total = total + jax.random.uniform(sub, (n,), jnp.float32, -1.0, 1.0)
+    audio = Audio(data=total[None, :], sample_rate=sample_rate)
+    return audio.set_volume(1.0)
+
+
+def synthesize_spectrum(length: float, freq, spread=None,
+                        harmonic_scale=None, peak_distribution=None,
+                        fundamental_power: int = 8,
+                        spectrum_size_power: int = 20,
+                        num_channels: int = 2,
+                        granularity: float = 0.001, *, seed: int = 0,
+                        sample_rate: float = 48000.0):
+    """Giant-IFFT wavetable with per-harmonic spectral distributions,
+    played back at variable rate (reference AudioSynthesis.cpp:151-268)."""
+    from flan_tpu.audio.audio import Audio
+    if (length <= 0 or fundamental_power <= 0 or spectrum_size_power <= 0
+            or fundamental_power > spectrum_size_power or granularity <= 0
+            or spectrum_size_power >= 32):
+        return Audio.create_null()
+
+    fundamental = float(2 ** fundamental_power)
+    wavelength = 2 ** spectrum_size_power
+    nbins = wavelength // 2 + 1
+
+    spread_fn = as_function(spread if spread is not None
+                            else (lambda h: h))
+    scale_fn = as_function(harmonic_scale if harmonic_scale is not None
+                           else (lambda h: 1.0 / jnp.sqrt(h)))
+    dist_fn = as_function(
+        peak_distribution if peak_distribution is not None
+        else (lambda x: jnp.exp(-0.5 * x * x) / math.sqrt(2 * math.pi)))
+
+    bin_freqs = jnp.arange(nbins, dtype=jnp.float32) * (sample_rate / nbins)
+    harmonic = jnp.round(bin_freqs / fundamental).astype(jnp.int32)
+    num_harmonics = int(math.ceil(sample_rate / fundamental)) + 2
+    h_idx = jnp.arange(1, num_harmonics + 1, dtype=jnp.float32)
+    spread_s = jnp.asarray(spread_fn(h_idx), jnp.float32)
+    scale_s = jnp.asarray(scale_fn(h_idx), jnp.float32)
+
+    h_clamped = jnp.clip(harmonic, 1, num_harmonics) - 1
+    sd = spread_s[h_clamped]
+    sc = scale_s[h_clamped]
+    mean = harmonic.astype(jnp.float32) * fundamental
+    x = bin_freqs
+    r = jnp.where(sd > 1e-3,
+                  jnp.asarray(dist_fn((x - mean) / jnp.maximum(sd, 1e-9)),
+                              jnp.float32) / jnp.maximum(sd, 1e-9),
+                  x) * sc
+    r = jnp.where(harmonic == 0, 0.0, r)
+    key = jax.random.PRNGKey(seed)
+    theta = jax.random.uniform(key, (nbins,), jnp.float32, 0.0,
+                               2.0 * math.pi)
+    spectrum = r * jnp.exp(1j * theta.astype(jnp.complex64))
+    # FFTW's unnormalized c2r vs jnp's 1/n normalization
+    table = jnp.fft.irfft(spectrum, n=wavelength) * wavelength
+
+    out_frames = int(length * sample_rate)
+    freq_fn = as_function(freq)
+    gran = max(1, int(granularity * sample_rate))
+    nblocks = -(-out_frames // gran)
+    tgrid = np.arange(nblocks, dtype=np.float64) * gran / sample_rate
+    if freq_fn.is_constant:
+        f_blocks = np.full(nblocks, freq_fn.constant_value, np.float64)
+    else:
+        f_blocks = np.asarray(
+            freq_fn(jnp.asarray(tgrid, jnp.float32)), np.float64).reshape(-1)
+    rate = f_blocks / fundamental  # table frames per output frame
+    starts = np.concatenate([[0.0], np.cumsum(rate * gran)])[:-1]
+    local = np.arange(gran, dtype=np.float64)
+    pos = (starts[:, None] + local[None, :] * rate[:, None]).reshape(-1)
+    pos = pos[:out_frames]
+
+    rows = []
+    for channel in range(num_channels):
+        jump = (channel / num_channels) * wavelength
+        p = jnp.mod(jnp.asarray(pos + jump, jnp.float32), wavelength)
+        base = jnp.floor(p).astype(jnp.int32)
+        frac = p - base
+        lo = table[base]
+        hi = table[jnp.mod(base + 1, wavelength)]
+        rows.append(lo * (1 - frac) + hi * frac)
+    audio = Audio(data=jnp.stack(rows), sample_rate=sample_rate)
+    return audio.set_volume(1.0)
+
+
+def synthesize_impulse(base_freq: float, num_harmonics: int = 2 ** 14,
+                       chroma: float = 1.0,
+                       sample_rate: float = 48000.0):
+    """Harmonic cosine-sum impulse (reference AudioSynthesis.cpp:270-303)."""
+    from flan_tpu.audio.audio import Audio
+    num_frames = int(sample_rate / base_freq)
+    if num_frames % 2 == 0:
+        num_frames += 1
+    half = (num_frames - 1) // 2
+    max_h = min(int(num_harmonics), int(sample_rate / 2 / base_freq) + 1)
+    max_h = max(max_h, 1)
+    if chroma == 1.0:
+        norm = 1.0 / num_harmonics if num_harmonics < 2 ** 14 else 1.0 / max_h
+        powers = jnp.full((max_h,), norm, jnp.float32)
+    else:
+        norm = (1.0 - chroma) / (chroma - chroma ** (num_harmonics + 1)) \
+            if num_harmonics < 60 else (1.0 - chroma) / chroma
+        powers = norm * jnp.power(chroma, jnp.arange(1, max_h + 1,
+                                                     dtype=jnp.float32))
+    t = jnp.arange(num_frames - half, dtype=jnp.float32) / sample_rate
+    h = jnp.arange(1, max_h + 1, dtype=jnp.float32)
+    waves = jnp.cos(2.0 * math.pi * base_freq * h[:, None] * t[None, :])
+    right = jnp.sum(powers[:, None] * waves, axis=0)
+    left = right[1:half + 1][::-1]
+    data = jnp.concatenate([left, right])[None, :]
+    return Audio(data=data.astype(jnp.float32), sample_rate=sample_rate)
+
+
+# ===========================================================================
+# Granular engine (reference AudioSynthesis.cpp:305-640)
+# ===========================================================================
+def integrate_event_rate(length: float, events_per_second, scatter,
+                         sample_rate: float, *, seed: int = 0
+                         ) -> np.ndarray:
+    """Density -> event times: integrate the rate, event at each integer
+    crossing, then normal-scatter (reference AudioSynthesis.cpp:310-374).
+    Host-side numpy; randomness is an explicit seed."""
+    n = int(length * sample_rate)
+    if n <= 0:
+        return np.zeros((0,))
+    eps = np.maximum(_sample_fn(events_per_second, n, 1.0 / sample_rate),
+                     0.0)
+    sc = np.maximum(_sample_fn(scatter, n, 1.0 / sample_rate), 0.0)
+
+    # accumulator starts at 1, so frame 0 always fires
+    # (reference AudioSynthesis.cpp:328-338)
+    acc = 1.0 + np.cumsum(eps / sample_rate)
+    crossings = np.floor(acc)
+    events = np.nonzero(np.diff(np.concatenate([[0.0], crossings])) >= 1.0
+                        )[0]
+
+    rng = np.random.default_rng(seed)
+    if len(events):
+        sc_e = sc[events]
+        eps_e = eps[events]
+        do = (sc_e > 0) & (eps_e > 0)
+        std_frames = np.where(do, sc_e / np.maximum(eps_e, 1e-12)
+                              * sample_rate, 0.0)
+        scattered = np.where(
+            do, rng.normal(events.astype(np.float64), std_frames), events)
+        keep = (scattered >= 0) & (scattered < n)
+        events = np.sort(scattered[keep])
+    return events / sample_rate
+
+
+def synthesize_grains(length: float, grains_per_second, time_scatter,
+                      grain_source: Callable, sample_rate: float = 48000.0,
+                      *, seed: int = 0):
+    """(reference AudioSynthesis.cpp:376-398)"""
+    from flan_tpu.audio.audio import Audio
+    if length <= 0:
+        return Audio.create_null()
+    times = integrate_event_rate(length, grains_per_second, time_scatter,
+                                 sample_rate, seed=seed)
+    grains = [grain_source(float(t)) for t in times]
+    grains = [g for g in grains if not g.is_null()]
+    if not grains:
+        return Audio.create_null()
+    return Audio.mix(grains, start_times=list(times[:len(grains)]))
+
+
+def texture(self, length: float, grains_per_second, time_scatter,
+            mod=None, mod_feedback: bool = False, *, seed: int = 0):
+    """Granular texture from a single source
+    (reference AudioSynthesis.cpp:423-473)."""
+    from flan_tpu.audio.audio import Audio
+    if self.is_null():
+        return Audio.create_null()
+    times = integrate_event_rate(length, grains_per_second, time_scatter,
+                                 self.sample_rate, seed=seed)
+    if len(times) == 0:
+        return Audio.create_null()
+    if mod is None:
+        return Audio.mix([self] * len(times), start_times=list(times))
+    grains = []
+    current = self
+    for i, t in enumerate(times):
+        source = current if (mod_feedback and i > 0) else self
+        g = mod(source, float(t))
+        grains.append(g)
+        current = g
+    return Audio.mix(grains, start_times=list(times))
+
+
+def texture_effect(self, effects_per_second, time_scatter, effect_length,
+                   mod, fade_time: float = 16.0 / 48000.0,
+                   interp=None, *, seed: int = 0):
+    """Apply an effect to crossfaded sections
+    (reference AudioSynthesis.cpp:475-537)."""
+    from flan_tpu.audio.audio import Audio
+    from flan_tpu.func import interpolators
+    if self.is_null() or mod is None:
+        return Audio.create_null()
+    if interp is None:
+        interp = interpolators.linear
+    fade_frames = max(0, self.time_to_frame(fade_time))
+    times = integrate_event_rate(self.length, effects_per_second,
+                                 time_scatter, self.sample_rate, seed=seed)
+    eff_fn = as_function(effect_length)
+
+    out = self.data
+    for t in times:
+        event_frame = self.time_to_frame(float(t))
+        ln = float(np.asarray(eff_fn(jnp.float32(t))).reshape(())) \
+            if not eff_fn.is_constant else eff_fn.constant_value
+        ln = max(ln, 0.0)
+        in_frames = self.time_to_frame(ln)
+        piece = self._with(data=out).modify_boundaries_frames(
+            event_frame, event_frame + in_frames - self.num_frames)
+        piece = mod(piece, float(t))
+        out_frames_c = piece.num_frames
+        fade_c = min(int(self.time_to_frame(piece.length / 2)), fade_frames)
+        piece = piece.fade_frames(fade_c, fade_c, interp)
+
+        n = out.shape[-1]
+        ramp = interp(1.0 - jnp.arange(max(fade_c, 1),
+                                       dtype=jnp.float32) / max(fade_c, 1))
+        if fade_c > 0:
+            lo = min(event_frame, n)
+            hi = min(event_frame + fade_c, n)
+            if hi > lo:
+                out = out.at[:, lo:hi].mul(ramp[: hi - lo][None])
+            lo2 = min(event_frame + out_frames_c - fade_c + 1, n)
+            hi2 = min(event_frame + out_frames_c + 1, n)
+            if hi2 > lo2:
+                out = out.at[:, lo2:hi2].mul(
+                    ramp[::-1][: hi2 - lo2][None])
+        # zero the middle
+        lo = min(event_frame + fade_c, n)
+        hi = min(event_frame + out_frames_c - fade_c + 1, n)
+        if hi > lo:
+            out = out.at[:, lo:hi].set(0.0)
+        # add the piece
+        lo = max(event_frame, 0)
+        hi = min(event_frame + out_frames_c, n)
+        if hi > lo:
+            out = out.at[:, lo:hi].add(
+                piece.data[:out.shape[0], : hi - lo])
+    return self._with(data=out)
+
+
+def synthesize_trainlets(length: float, grains_per_second, time_scatter,
+                         position, trainlet_gain_envelope, impulse_freq,
+                         trainlet_length, num_harmonics=2 ** 14, chroma=1.0,
+                         impulse_harmonic_frequency=32.0,
+                         sample_rate: float = 48000.0, *, seed: int = 0):
+    """Trainlet synthesis per "Microsound"
+    (reference AudioSynthesis.cpp:543-570)."""
+    from flan_tpu.audio.audio import Audio
+    pos_fn = position if callable(position) else (lambda t: position)
+    env_fn = as_function(trainlet_gain_envelope)
+    freq_fn = as_function(impulse_freq)
+    tl_fn = as_function(trainlet_length)
+    nh_fn = as_function(num_harmonics)
+    ch_fn = as_function(chroma)
+    ihf_fn = as_function(impulse_harmonic_frequency)
+
+    def scalar(fn, t):
+        return float(np.asarray(fn(jnp.float32(t))).reshape(())) \
+            if not fn.is_constant else fn.constant_value
+
+    def grain_source(t):
+        impulse = synthesize_impulse(
+            scalar(ihf_fn, t), int(scalar(nh_fn, t)), scalar(ch_fn, t),
+            sample_rate)
+        tl = scalar(tl_fn, t)
+        times = integrate_event_rate(tl, freq_fn, 0.0, sample_rate,
+                                     seed=seed + int(t * 1000) + 1)
+        if len(times) == 0:
+            return Audio.create_null()
+        gains = [scalar(env_fn, float(tt)) for tt in times]
+        train = Audio.mix([impulse] * len(times), start_times=list(times),
+                          gains=gains)
+        pos = pos_fn(t)
+        return train.stereo_spatialize(pos) if hasattr(
+            train, "stereo_spatialize") else train.convert_to_stereo()
+
+    return synthesize_grains(length, grains_per_second, time_scatter,
+                             grain_source, sample_rate, seed=seed)
+
+
+def granulate(self, length: float, grains_per_second, time_scatter,
+              time_selection, grain_length, fade_time=0.0, mod=None,
+              *, seed: int = 0):
+    """Granular synthesis reading grains from the input
+    (reference AudioSynthesis.cpp:572-609)."""
+    from flan_tpu.audio.audio import Audio
+    if self.is_null():
+        return Audio.create_null()
+    sel_fn = as_function(time_selection)
+    gl_fn = as_function(grain_length)
+    ft_fn = as_function(fade_time)
+
+    def scalar(fn, t):
+        return float(np.asarray(fn(jnp.float32(t))).reshape(())) \
+            if not fn.is_constant else fn.constant_value
+
+    def grain_source(t):
+        sel = scalar(sel_fn, t)
+        gl = scalar(gl_fn, t)
+        ft = scalar(ft_fn, t)
+        grain = self.cut(sel, sel + gl, ft, ft)
+        if mod is not None and not grain.is_null():
+            grain = mod(grain, t)
+        return grain
+
+    return synthesize_grains(length, grains_per_second, time_scatter,
+                             grain_source, self.sample_rate, seed=seed)
+
+
+def psola(self, length: float, time_selection, mod=None, *, seed: int = 0):
+    """Pitch-synchronous overlap-add (reference
+    AudioSynthesis.cpp:611-638): grain rate tracks the source pitch at the
+    selected time, grains are two periods long with hann windows."""
+    from flan_tpu.audio.audio import Audio
+    if self.is_null():
+        return Audio.create_null()
+    freq = self.get_frequency_envelope()
+    sel_fn = as_function(time_selection)
+
+    def sel(t):
+        return float(np.asarray(sel_fn(jnp.float32(t))).reshape(())) \
+            if not sel_fn.is_constant else sel_fn.constant_value
+
+    def freq_at(t):
+        v = float(np.asarray(freq(jnp.float32(sel(t)))).reshape(()))
+        return max(v, 1e-3)
+
+    def composition_mod(a, t):
+        if mod is not None:
+            a = mod(a, t)
+        ln = a.length
+        return a.modify_volume(lambda tt: hann(tt / ln))
+
+    return granulate(
+        self, length,
+        lambda t: jnp.maximum(jnp.asarray(
+            [freq_at(float(x)) for x in np.atleast_1d(np.asarray(t))],
+            jnp.float32).reshape(jnp.shape(t)), 1.0),
+        0.0,
+        lambda t: sel_fn(t),
+        lambda t: 2.0 / jnp.maximum(jnp.asarray(
+            [freq_at(float(x)) for x in np.atleast_1d(np.asarray(t))],
+            jnp.float32).reshape(jnp.shape(t)), 1e-3),
+        0.05, composition_mod, seed=seed)

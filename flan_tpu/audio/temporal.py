@@ -313,6 +313,39 @@ def repitch(self, factor, granularity: float = 0.001,
     return self._with(data=data)
 
 
+def delay(self, added_length: float, delay_time, decay=0.5, mod=None,
+          *, seed: int = 0):
+    """Volume-decaying delay via the texture engine with feedback
+    (reference AudioTemporal.cpp:326-361)."""
+    from flan_tpu.audio.audio import Audio
+    from flan_tpu.audio.synthesis import texture
+    if self.is_null():
+        return Audio.create_null()
+    added_length = max(0.0, added_length)
+    length = self.length + added_length
+    dt_fn = as_function(delay_time)
+    decay_fn = as_function(decay)
+    sr = self.sample_rate
+
+    def scalar(fn, t):
+        import numpy as _np
+        return float(_np.asarray(fn(jnp.float32(t))).reshape(())) \
+            if not fn.is_constant else fn.constant_value
+
+    def events_per_second(t):
+        dt = jnp.maximum(jnp.asarray(dt_fn(t), jnp.float32), 1.0 / sr)
+        return 1.0 / dt
+
+    def delay_mod(audio, t):
+        if t == 0:
+            return audio
+        out = audio if mod is None else mod(audio, t)
+        return out.modify_volume(scalar(decay_fn, t))
+
+    return texture(self, length, events_per_second, 0.0, delay_mod,
+                   mod_feedback=True, seed=seed)
+
+
 def iterate(self, n: int, crossfade_time: float = 0.0, mod=None,
             feedback: bool = False):
     """Repeat n times, optionally modding each iteration

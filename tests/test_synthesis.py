@@ -1,0 +1,107 @@
+"""Synthesis & granular tests (reference AudioSynthesis.cpp)."""
+import numpy as np
+import pytest
+
+from flan_tpu import Audio
+
+SR = 8000.0
+
+
+def dominant_freq(audio, start, count):
+    x = np.asarray(audio.data[0, start:start + count])
+    spec = np.abs(np.fft.rfft(x))
+    return spec.argmax() * audio.sample_rate / count
+
+
+def test_synthesize_waveform_sine():
+    from flan_tpu.func.function import waveforms
+    a = Audio.synthesize_waveform(waveforms.sine, 0.5, 440.0, SR,
+                                  oversample=4)
+    assert a.num_frames == int(0.5 * SR)
+    assert dominant_freq(a, 1000, 2000) == pytest.approx(440, abs=5)
+    peak = float(np.abs(np.asarray(a.data)).max())
+    assert 0.9 < peak < 1.1
+
+
+def test_synthesize_waveform_sweep():
+    from flan_tpu.func.function import waveforms
+    a = Audio.synthesize_waveform(waveforms.sine, 1.0,
+                                  lambda t: 200.0 + 400.0 * t, SR,
+                                  oversample=4)
+    f_early = dominant_freq(a, 500, 1024)
+    f_late = dominant_freq(a, 6500, 1024)
+    assert f_late > f_early + 150
+
+
+def test_white_noise():
+    a = Audio.synthesize_white_noise(0.25, SR, oversample=2, seed=1)
+    assert a.num_frames == int(0.25 * SR)
+    d = np.asarray(a.data)
+    assert np.abs(d.mean()) < 0.05
+    assert d.std() > 0.2
+
+
+def test_pink_noise_spectrum():
+    """Pink noise has more low than high energy."""
+    a = Audio.synthesize_pink_noise(1.0, SR, seed=2)
+    spec = np.abs(np.fft.rfft(np.asarray(a.data[0]))) ** 2
+    low = spec[10:100].mean()
+    high = spec[2000:4000].mean()
+    assert low > high * 3
+
+
+def test_synthesize_impulse():
+    a = Audio.synthesize_impulse(100.0, 10, 1.0, SR)
+    d = np.asarray(a.data[0])
+    # symmetric around center with the peak there
+    assert d.argmax() == len(d) // 2
+    np.testing.assert_allclose(d, d[::-1], atol=1e-4)
+
+
+def test_integrate_event_rate():
+    from flan_tpu.audio.synthesis import integrate_event_rate
+    times = integrate_event_rate(1.0, 10.0, 0.0, SR)
+    assert len(times) == pytest.approx(10, abs=1)
+    # evenly spaced at 0.1s
+    assert np.allclose(np.diff(times), 0.1, atol=0.01)
+    scattered = integrate_event_rate(1.0, 10.0, 1.0, SR, seed=3)
+    assert len(scattered) <= 11
+    assert not np.allclose(np.diff(scattered), 0.1, atol=0.001)
+
+
+def test_texture_repeats():
+    t = np.arange(800, dtype=np.float32) / SR
+    grain = Audio.create_from_array(
+        (0.1 * np.sin(2 * np.pi * 400 * t))[None], SR)
+    tex = grain.texture(0.5, 20.0, 0.0)
+    assert not tex.is_null()
+    assert tex.num_frames >= int(0.4 * SR)
+
+
+def test_texture_mod_applies():
+    grain = Audio.create_from_array(np.ones((1, 100), np.float32), SR)
+    tex = grain.texture(0.2, 10.0, 0.0,
+                        mod=lambda a, t: a.modify_volume(0.0))
+    assert float(np.abs(np.asarray(tex.data)).max()) == 0.0
+
+
+def test_delay_decays():
+    x = np.zeros((1, 400), np.float32)
+    x[0, 0:50] = 1.0
+    a = Audio.create_from_array(x, SR)
+    d = a.delay(0.2, 0.05, decay=0.5)
+    arr = np.asarray(d.data[0])
+    first = np.abs(arr[0:50]).max()
+    second = np.abs(arr[400:450]).max()
+    assert first == pytest.approx(1.0, abs=0.05)
+    assert 0.1 < second < 0.9  # decayed copies present
+
+
+def test_granulate():
+    t = np.arange(int(SR), dtype=np.float32) / SR
+    a = Audio.create_from_array(
+        (0.5 * np.sin(2 * np.pi * 300 * t))[None], SR)
+    g = a.granulate(0.5, 30.0, 0.0, time_selection=0.2, grain_length=0.05,
+                    fade_time=0.01)
+    assert not g.is_null()
+    assert g.num_frames >= int(0.4 * SR)
