@@ -7,7 +7,7 @@ path is batched tensor programs on TPU; see SURVEY.md for the layer map.
 from flan_tpu.core.audio_buffer import AudioBuffer, AudioFormat, SndfileStrings
 from flan_tpu.core.pv_buffer import PVBuffer, PVFormat
 from flan_tpu.audio import Audio
-from flan_tpu.pv.pv import PV
+from flan_tpu.pv import PV
 from flan_tpu.func.function import (Function, Function2d, adsr, as_function,
                                     as_function2d, waveforms)
 from flan_tpu.func import interpolators

@@ -1,0 +1,384 @@
+"""PV desample / smear / extrapolate / spline-stretch / general modify.
+
+TPU-native re-design of the remaining reference resampling family
+(reference: src/flan/PV/PVModify.cpp:15-194, 387-666). Bound onto PV in
+flan_tpu.pv.__init__.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flan_tpu.func import interpolators
+from flan_tpu.func.function import as_function, as_function2d
+
+
+def desample(self, decimation_ratio,
+             interp: Callable = interpolators.linear):
+    """Integrate-and-select decimation with interpolated restoration
+    (reference PVModify.cpp:445-511). The per-bin accumulator loop becomes
+    cumsum + integer-crossing masks; bracketing selected frames come from
+    forward/backward cumulative max/min - no sequential walk."""
+    from flan_tpu.pv.pv import PV
+    if self.is_null():
+        return PV.create_null()
+    c, f, b = self.mag.shape
+    ratio = jnp.clip(jnp.broadcast_to(
+        self._sample_2d(decimation_ratio), (f, b)), 0.0, 1.0)
+
+    # accumulator starts at 1 so frame 0 is always selected
+    acc = 1.0 + jnp.cumsum(ratio, axis=0)
+    crossings = jnp.floor(acc)
+    prev = jnp.concatenate([jnp.zeros((1, b)), crossings[:-1]], axis=0)
+    selected = (crossings - prev) >= 1.0                  # [F, B]
+
+    f_idx = jnp.arange(f, dtype=jnp.float32)[:, None]
+    # lFrame: most recent selected frame <= f (inclusive)
+    l_frame = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(selected, f_idx, -1.0), axis=0)
+    # rFrame: next selected frame > f (exclusive)
+    r_rev = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(selected, f_idx, jnp.float32(f + 1))[::-1],
+        axis=0)[::-1]
+    r_frame = jnp.concatenate([r_rev[1:], jnp.full((1, b), f + 1.0)],
+                              axis=0)
+    valid = (l_frame >= 0) & (r_frame <= f - 1)
+
+    li = jnp.clip(l_frame, 0, f - 1).astype(jnp.int32)
+    ri = jnp.clip(r_frame, 0, f - 1).astype(jnp.int32)
+    mix = interp(jnp.clip(
+        (f_idx - l_frame) / jnp.maximum(r_frame - l_frame, 1e-9), 0.0, 1.0))
+
+    def gather(a, idx):
+        return jnp.take_along_axis(a, idx[None].repeat(c, 0), axis=1)
+
+    lm = gather(self.mag, li)
+    rm = gather(self.mag, ri)
+    lf = gather(self.freq, li)
+    rf = gather(self.freq, ri)
+    w0 = (1.0 - mix)[None] * lm
+    w1 = mix[None] * rm
+    out_mag = jnp.where(valid[None], w0 + w1, 0.0)
+    out_freq = jnp.where(valid[None], jnp.where(w0 > w1, lf, rf), 0.0)
+    return self._with(mag=out_mag, freq=out_freq)
+
+
+def smear_time(self, smear_size, granularity=5, distribution=None,
+               max_kernel: int = 128):
+    """Windowed time average of surrounding MF data
+    (reference PVModify.cpp:513-605). Computed as a static offset-kernel
+    sum with masks; offsets beyond max_kernel half-taps are truncated
+    (the reference walks arbitrary distances)."""
+    from flan_tpu.pv.pv import PV
+    if self.is_null():
+        return PV.create_null()
+    if distribution is None:
+        distribution = lambda t: 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+    c, f, b = self.mag.shape
+
+    smear = jnp.maximum(jnp.broadcast_to(
+        self._sample_2d(smear_size), (f, b)), 0.0)       # seconds
+    gran = jnp.maximum(jnp.broadcast_to(
+        self._sample_2d(granularity), (f, b)), 1.0)
+
+    exp_frames = smear * self.analysis_rate               # [F, B]
+    max_exp = int(np.ceil(float(jnp.max(exp_frames))))
+    left = int(np.ceil(float(jnp.max(exp_frames[0]))))
+    right = int(np.ceil(float(jnp.max(exp_frames[-1]))))
+    f_out = f + left + right
+
+    half_taps = min(max_kernel, max(max_exp, 1))
+    offs = jnp.arange(-half_taps, half_taps)              # [K]
+    min_gran = max(1, int(jnp.min(gran)))
+    offs = offs * min_gran if min_gran > 1 else offs
+
+    out_mag = jnp.zeros((c, f_out, b), jnp.float32)
+    out_freq = jnp.zeros((c, f_out, b), jnp.float32)
+    in_frame = jnp.clip(jnp.arange(f_out) - left, 0, f - 1)
+
+    exp_o = exp_frames[in_frame]                          # [F_out, B]
+    mag_sum = jnp.zeros((c, f_out, b), jnp.float32)
+    freq_sum = jnp.zeros((c, f_out, b), jnp.float32)
+    total_w = jnp.zeros((f_out, b), jnp.float32)
+    used_w = jnp.zeros((f_out, b), jnp.float32)
+
+    for k in range(offs.shape[0]):
+        off = int(offs[k])
+        in_window = jnp.abs(off) < jnp.maximum(exp_o, 1e-9)
+        dist_in = (off / self.analysis_rate) / jnp.maximum(
+            exp_o / self.analysis_rate, 1e-9)
+        w = jnp.asarray(distribution(jnp.clip(dist_in, -1.0, 1.0)),
+                        jnp.float32) * in_window
+        total_w = total_w + w
+        src = jnp.arange(f_out) - left + off
+        ok = (src >= 0) & (src < f)
+        srcc = jnp.clip(src, 0, f - 1)
+        w_ok = w * ok[:, None]
+        used_w = used_w + w_ok
+        mag_sum = mag_sum + self.mag[:, srcc] * w_ok[None]
+        freq_sum = freq_sum + self.freq[:, srcc] * w_ok[None]
+
+    out_mag = jnp.where(total_w[None] > 0, mag_sum / jnp.maximum(
+        total_w[None], 1e-12), 0.0)
+    out_freq = jnp.where(used_w[None] > 0, freq_sum / jnp.maximum(
+        used_w[None], 1e-12), 0.0)
+    return self._with(mag=out_mag, freq=out_freq)
+
+
+def time_extrapolate(self, start_time: float, end_time: float,
+                     extrap_time: float,
+                     interp: Callable = interpolators.linear):
+    """Interpolate between two anchor frames, then keep extrapolating,
+    with bin-shift alignment (reference PVModify.cpp:607-666)."""
+    from flan_tpu.pv.pv import PV
+    if self.is_null():
+        return PV.create_null()
+    length = self.length
+    start_time = float(np.clip(start_time, 0.0, length))
+    if end_time == -1:
+        end_time = length
+    end_time = float(np.clip(end_time, 0.0, length))
+    if start_time >= end_time or extrap_time <= 0:
+        return PV.create_null()
+
+    c, f, b = self.mag.shape
+    start = int(self.time_to_frame(start_time))
+    end = int(self.time_to_frame(end_time))
+    ext = int(self.time_to_frame(extrap_time))
+    f_out = end + ext
+
+    mix = interp(jnp.asarray(
+        (np.arange(start, f_out) - start) / max(end - start, 1),
+        jnp.float32))                                     # [F_out-start]
+
+    lm = self.mag[:, start][:, None, :]
+    rm = self.mag[:, end][:, None, :]
+    lf = self.freq[:, start][:, None, :]
+    rf = self.freq[:, end][:, None, :]
+    m = mix[None, :, None]
+    ext_mag = jnp.abs((1 - m) * lm + m * rm)
+    ext_freq = (1 - m) * lf + m * rf
+
+    bin_ix = jnp.arange(b)[None, None, :]
+    right_shift = bin_ix - (rf / self.bin_width).astype(jnp.int32)
+    target = (ext_freq / self.bin_width).astype(jnp.int32) + right_shift
+    valid = (target >= 0) & (target < b)
+    tb = jnp.clip(target, 0, b - 1)
+    n_ext = f_out - start
+    chan_ix = jnp.arange(c)[:, None, None]
+    frame_ix = jnp.arange(n_ext)[None, :, None]
+    sc_mag = jnp.zeros((c, n_ext, b), jnp.float32).at[
+        chan_ix, frame_ix, tb].max(jnp.where(valid, ext_mag, -1.0))
+    winner = sc_mag[chan_ix, frame_ix, tb]
+    write = valid & (ext_mag >= winner)
+    sc_freq = jnp.full((c, n_ext, b), -jnp.inf).at[
+        chan_ix, frame_ix, tb].max(jnp.where(write, ext_freq, -jnp.inf))
+    sc_freq = jnp.where(jnp.isneginf(sc_freq), 0.0, sc_freq)
+
+    out_mag = jnp.concatenate(
+        [self.mag[:, :start], jnp.maximum(sc_mag, 0.0)], axis=1)
+    out_freq = jnp.concatenate([self.freq[:, :start], sc_freq], axis=1)
+    return self._with(mag=out_mag, freq=out_freq)
+
+
+def stretch_spline(self, expansion):
+    """Integer per-frame expansion filled by natural cubic splines
+    (reference PVModify.cpp:387-443). The tk::spline-per-bin loop becomes
+    one shared spline-evaluation matrix (knot positions are bin-independent)
+    applied to all channels/bins as a single matmul on the MXU."""
+    from flan_tpu.pv.pv import PV
+    if self.is_null():
+        return PV.create_null()
+    c, f, b = self.mag.shape
+    fn = as_function(expansion)
+    t = np.arange(f, dtype=np.float64) / self.analysis_rate
+    if fn.is_constant:
+        exp = np.full(f, fn.constant_value)
+    else:
+        exp = np.asarray(fn(jnp.asarray(t, jnp.float32)),
+                         np.float64).reshape(-1)
+        exp = np.broadcast_to(exp, (f,))
+    exp = np.maximum(exp.astype(np.int64), 1)
+
+    xs = np.zeros(f, np.float64)
+    total = 0
+    for i in range(f - 1):
+        xs[i] = total
+        total += int(exp[i])
+    xs[f - 1] = total
+    f_out = int(total)
+    if f_out <= 0:
+        return PV.create_null()
+
+    W = _natural_spline_matrix(xs, np.arange(f_out, dtype=np.float64))
+    Wj = jnp.asarray(W, jnp.float32)                       # [F_out, F]
+    out_mag = jnp.einsum("tf,cfb->ctb", Wj, self.mag)
+    out_freq = jnp.einsum("tf,cfb->ctb", Wj, self.freq)
+    return self._with(mag=out_mag, freq=out_freq)
+
+
+def _natural_spline_matrix(xs: np.ndarray, ts: np.ndarray) -> np.ndarray:
+    """W with out = W @ y giving the natural cubic spline through
+    (xs, y) evaluated at ts. Dense [T, F]; spline interpolation is linear
+    in y so one matrix serves every bin and channel."""
+    n = len(xs)
+    h = np.diff(xs)
+    # second-derivative system A m = B y (natural boundary: m0 = mn = 0)
+    A = np.zeros((n, n))
+    B = np.zeros((n, n))
+    A[0, 0] = 1.0
+    A[-1, -1] = 1.0
+    for i in range(1, n - 1):
+        A[i, i - 1] = h[i - 1] / 6.0
+        A[i, i] = (h[i - 1] + h[i]) / 3.0
+        A[i, i + 1] = h[i] / 6.0
+        B[i, i - 1] = 1.0 / h[i - 1]
+        B[i, i] = -1.0 / h[i - 1] - 1.0 / h[i]
+        B[i, i + 1] = 1.0 / h[i]
+    Minv = np.linalg.solve(A, B)          # m = Minv @ y
+
+    idx = np.clip(np.searchsorted(xs, ts, side="right") - 1, 0, n - 2)
+    x0 = xs[idx]
+    x1 = xs[idx + 1]
+    hi = x1 - x0
+    u = (ts - x0) / hi
+    # s(t) = (1-u) y0 + u y1 + h^2/6 [ ((1-u)^3-(1-u)) m0 + (u^3-u) m1 ]
+    W = np.zeros((len(ts), n))
+    rows = np.arange(len(ts))
+    W[rows, idx] += (1 - u)
+    W[rows, idx + 1] += u
+    c0 = hi * hi / 6.0 * ((1 - u) ** 3 - (1 - u))
+    c1 = hi * hi / 6.0 * (u ** 3 - u)
+    M0 = Minv[idx]        # [T, F]
+    M1 = Minv[idx + 1]
+    W += c0[:, None] * M0 + c1[:, None] * M1
+    return W
+
+
+def modify(self, mod, interp: Callable = interpolators.linear,
+           max_quad_span: int = 8):
+    """General time x frequency remap via quad rasterization
+    (reference PVModify.cpp:15-194). Each input cell quad is rasterized
+    over a static max_quad_span^2 neighborhood of its bounding-box corner
+    with inverse-bilinear interpolation and MIMM scatter-max writes; quads
+    spanning more cells than max_quad_span are clipped (the reference
+    rasterizes arbitrarily large quads with per-frame mutexes)."""
+    from flan_tpu.pv.pv import PV
+    if self.is_null():
+        return PV.create_null()
+    c, f, b = self.mag.shape
+    fn = as_function2d(mod) if not callable(mod) else mod
+
+    t = jnp.arange(f, dtype=jnp.float32) / self.analysis_rate
+    fr = jnp.arange(b, dtype=jnp.float32) * self.bin_width
+    mapped = fn(t[:, None], fr[None, :])
+    if isinstance(mapped, tuple):
+        m_t, m_f = mapped
+    else:
+        mapped = jnp.asarray(mapped)
+        m_t, m_f = mapped[..., 0], mapped[..., 1]
+    # to output frame/bin coordinates
+    PX = jnp.broadcast_to(m_t, (f, b)) * self.analysis_rate
+    PY = jnp.broadcast_to(m_f, (f, b)) / self.bin_width
+
+    out_frames = int(np.ceil(float(jnp.max(PX))))
+    if out_frames / self.analysis_rate > 600.0:
+        # the reference refuses >10 minute outputs (PVModify.cpp:31-35)
+        return PV.create_null()
+    out_frames = max(out_frames, 1)
+
+    # per-MF modified frequency: mod applied at the MF's own frequency
+    tt = jnp.broadcast_to(t[None, :, None], self.freq.shape)
+    mf_mapped = fn(tt, self.freq)
+    if isinstance(mf_mapped, tuple):
+        mf_freq = jnp.broadcast_to(mf_mapped[1], self.freq.shape)
+    else:
+        mf_freq = jnp.broadcast_to(jnp.asarray(mf_mapped)[..., 1],
+                                   self.freq.shape)
+
+    # quad corners for cell (frame, bin): p00=(f-1,b-1) p10=(f,b-1)
+    # p11=(f,b) p01=(f-1,b)
+    x00, y00 = PX[:-1, :-1], PY[:-1, :-1]
+    x10, y10 = PX[1:, :-1], PY[1:, :-1]
+    x11, y11 = PX[1:, 1:], PY[1:, 1:]
+    x01, y01 = PX[:-1, 1:], PY[:-1, 1:]
+
+    # inverse bilinear coefficients (PVModify.cpp:109-137)
+    a0, a1 = x00, x10 - x00
+    a2, a3 = x01 - x00, x00 - x10 + x11 - x01
+    b0, b1 = y00, y10 - y00
+    b2, b3 = y01 - y00, y00 - y10 + y11 - y01
+
+    minx = jnp.floor(jnp.minimum(jnp.minimum(x00, x10),
+                                 jnp.minimum(x11, x01))).astype(jnp.int32)
+    miny = jnp.floor(jnp.minimum(jnp.minimum(y00, y10),
+                                 jnp.minimum(y11, y01))).astype(jnp.int32)
+
+    mags = (self.mag[:, :-1, :-1], self.mag[:, 1:, :-1],
+            self.mag[:, 1:, 1:], self.mag[:, :-1, 1:])
+    freqs = (mf_freq[:, :-1, :-1], mf_freq[:, 1:, :-1],
+             mf_freq[:, 1:, 1:], mf_freq[:, :-1, 1:])
+
+    out_mag = jnp.zeros((c, out_frames, b), jnp.float32)
+    out_freq = jnp.full((c, out_frames, b), -jnp.inf)
+    writes = []
+    for dx in range(max_quad_span):
+        for dy in range(max_quad_span):
+            X = (minx + dx).astype(jnp.float32)
+            Y = (miny + dy).astype(jnp.float32)
+            # solve bilinear (l, m): X = a0+a1 l+a2 m+a3 l m, same for Y
+            qa = a3 * b2 - a2 * b3
+            qb = (a3 * b0 - a0 * b3 + a1 * b2 - a2 * b1
+                  + X * b3 - a3 * Y)
+            qc = a1 * b0 - a0 * b1 + X * b1 - a1 * Y
+            disc = qb * qb - 4.0 * qa * qc
+            lin = jnp.abs(qa) < 1e-9
+            mm = jnp.where(
+                lin,
+                -qc / jnp.where(jnp.abs(qb) > 1e-9, qb, 1.0),
+                (-qb + jnp.sqrt(jnp.maximum(disc, 0.0)))
+                / jnp.where(lin, 1.0, 2.0 * qa))
+            ldenom = a1 + a3 * mm
+            ll = (X - a0 - a2 * mm) / jnp.where(jnp.abs(ldenom) > 1e-9,
+                                                ldenom, 1.0)
+            eps = 1e-4
+            inside = ((jnp.abs(ll - 0.5) <= 0.5 + eps)
+                      & (jnp.abs(mm - 0.5) <= 0.5 + eps)
+                      & (disc >= 0))
+            iL = interp(jnp.clip(ll, 0.0, 1.0))
+            iM = interp(jnp.clip(mm, 0.0, 1.0))
+            w = (
+                (1 - iL) * (1 - iM) * mags[0],
+                iL * (1 - iM) * mags[1],
+                iL * iM * mags[2],
+                (1 - iL) * iM * mags[3],
+            )
+            wstack = jnp.stack(w)
+            max_i = jnp.argmax(wstack, axis=0)
+            max_w = jnp.max(wstack, axis=0)
+            sel_freq = jnp.stack(freqs)[
+                max_i, jnp.arange(c)[:, None, None],
+                jnp.arange(f - 1)[None, :, None],
+                jnp.arange(b - 1)[None, None, :]]
+            tx = jnp.clip(minx + dx, 0, out_frames - 1)
+            ty = jnp.clip(miny + dy, 0, b - 1)
+            ok = (inside[None] & (minx + dx >= 0)[None]
+                  & (minx + dx < out_frames)[None]
+                  & (miny + dy >= 0)[None] & (miny + dy < b)[None]
+                  & (max_w > 0))
+            chan_ix = jnp.arange(c)[:, None, None]
+            val = jnp.where(ok, max_w, -1.0)
+            out_mag = out_mag.at[chan_ix, tx[None], ty[None]].max(val)
+            writes.append((tx, ty, val, sel_freq, ok))
+    for tx, ty, val, sel_freq, ok in writes:
+        chan_ix = jnp.arange(c)[:, None, None]
+        winner = out_mag[chan_ix, tx[None], ty[None]]
+        write = ok & (val >= winner) & (val > 0)
+        out_freq = out_freq.at[chan_ix, tx[None], ty[None]].max(
+            jnp.where(write, sel_freq, -jnp.inf))
+    out_freq = jnp.where(jnp.isneginf(out_freq), 0.0, out_freq)
+    return self._with(mag=out_mag, freq=out_freq)
