@@ -8,6 +8,9 @@ from flan_tpu.core.audio_buffer import AudioBuffer, AudioFormat, SndfileStrings
 from flan_tpu.core.pv_buffer import PVBuffer, PVFormat
 from flan_tpu.audio import Audio
 from flan_tpu.pv import PV
+from flan_tpu.spv import SPV
+from flan_tpu.sqpv import SQPV
+from flan_tpu.wavetable import PitchMode, SnapMode, Wavetable
 from flan_tpu.func.function import (Function, Function2d, adsr, as_function,
                                     as_function2d, waveforms)
 from flan_tpu.func import interpolators
@@ -16,7 +19,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Audio", "AudioBuffer", "AudioFormat", "SndfileStrings",
-    "PV", "PVBuffer", "PVFormat",
+    "PV", "PVBuffer", "PVFormat", "SPV", "SQPV",
+    "Wavetable", "SnapMode", "PitchMode",
     "Function", "Function2d", "adsr", "as_function", "as_function2d",
     "waveforms", "interpolators",
 ]

@@ -127,6 +127,31 @@ class Audio(AudioBuffer):
         return self.convert_to_mid_side().convert_to_PV(window_size, hop,
                                                         dft_size)
 
+    def convert_to_SPV(self, dft_size: int = 1024):
+        """Sliding-DFT phase vocoder (reference Conversions/AudioSPV.cpp).
+        dft_size is the bin count, as in the reference's call convention."""
+        from flan_tpu.spv import SPV, spv_forward
+        if self.is_null():
+            return SPV.create_null()
+        mag, freq = spv_forward(self.data, dft_size,
+                                float(self.sample_rate))
+        return SPV(mag=mag, freq=freq, sample_rate=float(self.sample_rate))
+
+    def convert_to_ms_SPV(self, dft_size: int = 1024):
+        """(reference AudioSPV.cpp:108-111)"""
+        return self.convert_to_mid_side().convert_to_SPV(dft_size)
+
+    def convert_to_SQPV(self, bandwidth=(16.0, 24000.0),
+                        bins_per_octave: float = 24.0):
+        """Constant-Q container (reference Audio.h:197-205). The
+        reference's SQPV algorithm layer is entirely commented out
+        (SQPV/SQPV.cpp:1, Conversions/AudioSQPV.cpp:1); as there, the
+        buffer type exists but no transform is performed."""
+        raise NotImplementedError(
+            "convert_to_SQPV is dormant in the reference (AudioSQPV.cpp "
+            "is commented out); the SQPV container is available as "
+            "flan_tpu.sqpv.SQPV")
+
     def convert_to_mid_side(self) -> "Audio":
         """L/R -> M/S with the reference's 1/sqrt(2) convention
         (reference AudioConversions.cpp:32-51)."""

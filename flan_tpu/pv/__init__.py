@@ -1,6 +1,7 @@
 """PV algorithm surface: binds method groups onto the PV class."""
 from flan_tpu.pv.pv import PV
 from flan_tpu.pv import algorithms as _algorithms
+from flan_tpu.pv import information as _information
 from flan_tpu.pv import modify_extra as _modify_extra
 
 
@@ -17,6 +18,9 @@ _bind(_algorithms, [
 PV.get_bin_interpolated = _algorithms.get_bin_interpolated
 PV.getBinInterpolated = _algorithms.get_bin_interpolated
 PV.synthesize = staticmethod(_algorithms.synthesize)
+_bind(_information, ["get_salience", "get_contours", "prism"])
+PV.Salience = _information.Salience
+PV.Contour = _information.Contour
 _bind(_modify_extra, [
     "desample", "smear_time", "time_extrapolate", "stretch_spline",
     "modify",

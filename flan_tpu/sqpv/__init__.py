@@ -1,0 +1,2 @@
+from flan_tpu.sqpv.sqpv import SQPV
+__all__ = ["SQPV"]

@@ -1,0 +1,64 @@
+"""Salience / contours / prism tests (reference PVInformation.cpp)."""
+import numpy as np
+import pytest
+
+from flan_tpu import Audio
+
+SR = 8000.0
+WINDOW, HOP, DFT = 512, 64, 512
+
+
+@pytest.fixture(scope="module")
+def melody_pv():
+    """Two sequential notes: 220 Hz then 440 Hz."""
+    t = np.arange(int(0.4 * SR), dtype=np.float32) / SR
+    a = 0.5 * np.sin(2 * np.pi * 220 * t)
+    b = 0.5 * np.sin(2 * np.pi * 440 * t)
+    sig = np.concatenate([a, b])[None].astype(np.float32)
+    return Audio.create_from_array(sig, SR).convert_to_PV(WINDOW, HOP, DFT)
+
+
+def test_salience_peaks_at_notes(melody_pv):
+    sal = melody_pv.get_salience(0, 55.0, 1760.0)
+    assert sal.num_frames == melody_pv.num_frames
+    assert sal.buffer.max() == pytest.approx(1.0)
+    # pitch bin of 220 Hz: 120 * log2(220/55) = 240
+    early = sal.buffer[10:30].mean(axis=0)
+    assert abs(early.argmax() - 240) <= 12
+    late = sal.buffer[-30:-10].mean(axis=0)
+    assert abs(late.argmax() - 360) <= 12  # 440 Hz -> bin 360
+
+
+def test_contours_track_notes(melody_pv):
+    contours = melody_pv.get_contours(0, filter_short=10)
+    assert len(contours) >= 2
+    contours.sort(key=lambda c: c.start_frame)
+    freqs = [55.0 * 2 ** (c.pitch_mean / 120.0) for c in contours[:2]]
+    assert min(abs(f - 220) for f in freqs) < 15
+    assert min(abs(f - 440) for f in freqs) < 25
+
+
+def test_prism_identity(melody_pv):
+    """A prism function returning each harmonic unchanged approximately
+    preserves the PV (reference PVInformation.cpp:265-421)."""
+    def identity(note, t, harmonic, base_freq, harmonic_mags):
+        return harmonic_mags[harmonic - 1], base_freq * harmonic
+
+    pr = melody_pv.prism(identity, use_local_contour_time=False)
+    assert not pr.is_null()
+    e_in = float(np.square(np.asarray(melody_pv.mag)).sum())
+    e_out = float(np.square(np.asarray(pr.mag)).sum())
+    assert e_out == pytest.approx(e_in, rel=0.35)
+
+
+def test_prism_octave_up(melody_pv):
+    """Doubling every harmonic frequency shifts energy up an octave."""
+    def octave(note, t, harmonic, base_freq, harmonic_mags):
+        return harmonic_mags[harmonic - 1], base_freq * harmonic * 2.0
+
+    pr = melody_pv.prism(octave)
+    mid = 20
+    m = np.asarray(pr.mag[0, mid])
+    b440 = int(440.0 / pr.bin_width)
+    b220 = int(220.0 / pr.bin_width)
+    assert m[b440 - 2:b440 + 3].max() > m[b220 - 2:b220 + 3].max()

@@ -1,0 +1,68 @@
+"""Sliding-DFT phase vocoder tests (reference AudioSPV.cpp, SPV.cpp)."""
+import numpy as np
+import pytest
+
+from flan_tpu import Audio, SPV, SQPV
+
+SR = 8000.0
+
+
+def sine(freq, seconds=0.25, amp=0.5):
+    t = np.arange(int(seconds * SR), dtype=np.float32) / SR
+    return Audio.create_from_array(
+        (amp * np.sin(2 * np.pi * freq * t))[None], SR)
+
+
+def test_spv_shapes():
+    a = sine(440.0)
+    spv = a.convert_to_SPV(128)
+    assert spv.num_frames == a.num_frames
+    assert spv.num_bins == 128
+    assert spv.analysis_rate == SR
+
+
+def test_spv_roundtrip():
+    a = sine(440.0)
+    b = a.convert_to_SPV(128).convert_to_audio()
+    n = a.num_frames
+    guard = 512  # sliding window fill-in
+    x = np.asarray(a.data[0, guard:n - guard])
+    y = np.asarray(b.data[0, guard:n - guard])
+    rel = np.sqrt(((x - y) ** 2).mean()) / np.sqrt((x ** 2).mean())
+    assert rel < 0.1
+
+
+def test_spv_frequency_estimate():
+    a = sine(440.0)
+    spv = a.convert_to_SPV(128)
+    mid = spv.num_frames // 2
+    m = np.asarray(spv.mag[0, mid])
+    f = np.asarray(spv.freq[0, mid])
+    assert abs(f[m.argmax()] - 440.0) < 10.0
+
+
+def test_spv_repitch():
+    a = sine(440.0)
+    spv = a.convert_to_SPV(128).repitch(1.5)
+    b = spv.convert_to_audio()
+    mid = np.asarray(b.data[0, 800:1800])
+    spec = np.abs(np.fft.rfft(mid))
+    peak = spec.argmax() * SR / len(mid)
+    assert abs(peak - 660.0) < 20.0
+
+
+def test_sqpv_buffer():
+    s = SQPV.create(1, 100, 24.0, SR, (16.0, 4000.0))
+    assert not s.is_null()
+    # log-spaced bins: frequency doubles every bins_per_octave bins
+    assert s.bin_to_frequency(24) == pytest.approx(
+        2 * s.bin_to_frequency(0), rel=1e-6)
+    assert s.frequency_to_bin(s.bin_to_frequency(10)) == pytest.approx(
+        10.0, abs=1e-6)
+    assert s.q == pytest.approx(1.0 / (2 ** (1 / 24) - 1.0))
+
+
+def test_sqpv_conversion_dormant():
+    a = sine(440.0)
+    with pytest.raises(NotImplementedError):
+        a.convert_to_SQPV()
