@@ -11,6 +11,8 @@ from flan_tpu.pv import PV
 from flan_tpu.spv import SPV
 from flan_tpu.sqpv import SQPV
 from flan_tpu.wavetable import PitchMode, SnapMode, Wavetable
+from flan_tpu.graph import Graph, WaveformMode
+from flan_tpu.utils.geometry import Color, Interval, Rect, View
 from flan_tpu.func.function import (Function, Function2d, adsr, as_function,
                                     as_function2d, waveforms)
 from flan_tpu.func import interpolators
@@ -21,6 +23,7 @@ __all__ = [
     "Audio", "AudioBuffer", "AudioFormat", "SndfileStrings",
     "PV", "PVBuffer", "PVFormat", "SPV", "SQPV",
     "Wavetable", "SnapMode", "PitchMode",
+    "Graph", "WaveformMode", "Color", "Interval", "Rect", "View",
     "Function", "Function2d", "adsr", "as_function", "as_function2d",
     "waveforms", "interpolators",
 ]

@@ -13,6 +13,7 @@ from flan_tpu.audio import spatial as _spatial
 from flan_tpu.audio import synthesis as _synthesis
 from flan_tpu.audio import temporal as _temporal
 from flan_tpu.audio import volume as _volume
+from flan_tpu.graph import conversions as _graphing
 
 
 def _bind(module, names):
@@ -57,6 +58,10 @@ _bind(_filters, [
     "filter_1pole_multinotch", "filter_2pole_multinotch", "filter_comb",
     "halfband_modulate", "shift_frequency", "halfband_multiply",
 ])
+Audio.convert_to_graph = _graphing.audio_convert_to_graph
+Audio.save_to_bmp = _graphing.audio_save_to_bmp
+Audio.convert_to_spectrum_graph = _graphing.audio_convert_to_spectrum_graph
+Audio.save_spectrum_to_bmp = _graphing.audio_save_spectrum_to_bmp
 Audio.convolve = _combination.convolve
 Audio.mix = staticmethod(_combination.mix)
 Audio.join = staticmethod(_combination.join)

@@ -1,0 +1,334 @@
+"""Graph: multi-plane plotting for waveforms, spectrograms, functions.
+
+TPU-native re-design of the reference Graph
+(reference: src/flan/Graph.h:21-283, Graph.cpp). The reference subclasses a
+BMP image and paints per-pixel in parallel-STL loops; here rendering is
+vectorized numpy over a [H, W, 3] float image (spectrogram/waveform tensors
+are computed on device, rendering happens at the host boundary like all
+image I/O - SURVEY.md native-component checklist).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from flan_tpu.utils.geometry import Color, Interval, Rect, View, hsv_to_rgb
+
+ALL_PLANES = -1
+
+
+class WaveformMode:
+    DIRECT = "direct"
+    SYMMETRIC = "symmetric"
+
+
+class Graph:
+    DEFAULT_WIDTH = 1024
+    DEFAULT_HEIGHT = 512
+
+    def __init__(self, width: int = -1, height: int = -1):
+        self.width = width if width > 0 else Graph.DEFAULT_WIDTH
+        self.height = height if height > 0 else Graph.DEFAULT_HEIGHT
+        self.image = np.zeros((self.height, self.width, 3), np.float32)
+        self.views: List[Tuple[int, View]] = []
+
+    # --- Views (reference Graph.h:55-85) ------------------------------------
+    def add_view(self, view: View, plane: int = ALL_PLANES) -> None:
+        self.views.append((plane, view))
+
+    def set_view(self, rect: Rect) -> None:
+        self.views = [(ALL_PLANES,
+                       View(rect, Rect(0, 0, self.width, self.height)))]
+
+    def add_split_view_y(self, view: View, num_views: int,
+                         start_plane: int = 0) -> None:
+        for i in range(num_views):
+            h = view.V.h / num_views
+            v = Rect(view.V.x1, view.V.y1 + i * h,
+                     view.V.x2, view.V.y1 + (i + 1) * h)
+            self.views.append((start_plane + i, View(view.U, v)))
+
+    def add_full_split_view_y(self, rect: Rect, num_views: int,
+                              start_plane: int = 0) -> None:
+        self.add_split_view_y(
+            View(rect, Rect(0, 0, self.width, self.height)), num_views,
+            start_plane)
+
+    def _active_views(self, rect: Rect, plane: int):
+        out = []
+        for p, v in self.views:
+            if plane != ALL_PLANES and p != ALL_PLANES and p != plane:
+                continue
+            if rect.intersect(v.U).valid():
+                out.append((p, v))
+        return out
+
+    # --- Basics -------------------------------------------------------------
+    def fill_image(self, color: Color) -> None:
+        self.image[:] = color.as_array()
+
+    def set_pixel(self, x: int, y: int, color: Color) -> None:
+        if 0 <= x < self.width and 0 <= y < self.height:
+            self.image[y, x] = color.as_array()
+
+    # --- Waveforms (reference Graph.cpp:69-150) -----------------------------
+    def draw_waveform(self, data, rect: Optional[Rect] = None,
+                      plane: int = ALL_PLANES,
+                      color: Optional[Color] = None,
+                      mode: str = WaveformMode.DIRECT) -> None:
+        """data: 1-D array sampled across rect's x span, clamped [-1, 1]."""
+        if rect is None:
+            rect = Rect(0, -1, 1, 1)
+        if color is None:
+            color = Color.white()
+        d = np.clip(np.asarray(data, np.float32), -1.0, 1.0)
+        n = len(d)
+        if n == 0:
+            return
+        for _, view in self._active_views(rect, plane):
+            dr = rect.intersect(view.U)
+            x_lo = int(math.ceil(view.x_u_to_v(dr.x1)))
+            x_hi = int(math.floor(view.x_u_to_v(dr.x2)))
+            x_lo = max(x_lo, 0)
+            x_hi = min(x_hi, self.width)
+            if x_hi <= x_lo:
+                continue
+            xs = np.arange(x_lo, x_hi)
+            u = view.x_v_to_u(xs)
+            idx = ((u - rect.x1) / rect.w * n).astype(np.int64)
+            idx_next = np.minimum(
+                ((view.x_v_to_u(xs + 1) - rect.x1) / rect.w
+                 * n).astype(np.int64), n)
+            valid = (idx >= 0) & (idx < n)
+            mid = rect.y1 + rect.h / 2.0
+            half = rect.h / 2.0
+
+            lo_v = np.zeros(len(xs))
+            hi_v = np.zeros(len(xs))
+            for k, (i0, i1) in enumerate(zip(idx, idx_next)):
+                if not valid[k]:
+                    continue
+                span = d[i0:max(i1, i0 + 1)]
+                if mode == WaveformMode.SYMMETRIC:
+                    amp = float(np.abs(span).max())
+                    lo_v[k], hi_v[k] = -amp, amp
+                else:
+                    lo_v[k], hi_v[k] = float(span.min()), float(span.max())
+            y_top = view.y_u_to_v(mid + hi_v * half)
+            y_bot = view.y_u_to_v(mid + lo_v * half)
+            rows = np.arange(self.height)[:, None]
+            mask = ((rows >= np.floor(y_top)[None, :])
+                    & (rows <= np.ceil(y_bot)[None, :])
+                    & valid[None, :])
+            self.image[:, x_lo:x_hi][mask] = color.as_array()
+
+    def draw_waveforms(self, datas: Sequence, rect: Optional[Rect] = None,
+                       start_plane: int = 0,
+                       mode: str = WaveformMode.DIRECT) -> None:
+        for i, d in enumerate(datas):
+            c = Color.from_hsv(360.0 * i / len(datas), 0.8, 0.65)
+            self.draw_waveform(d, rect, start_plane + i, c, mode)
+
+    # --- Spectrograms (reference Graph.cpp:157-230) -------------------------
+    def draw_spectrogram(self, data, rect: Optional[Rect] = None,
+                         plane: int = ALL_PLANES, hue: float = 0.0) -> None:
+        """data: [n_x, n_y] values in [0, 1] -> HSV value plane."""
+        d = np.clip(np.asarray(data, np.float32), 0.0, 1.0)
+        n, m = d.shape
+        if rect is None:
+            rect = Rect(0, 0, n, m)
+        for _, view in self._active_views(rect, plane):
+            dr = rect.intersect(view.U)
+            x_lo = max(int(math.ceil(view.x_u_to_v(dr.x1))), 0)
+            x_hi = min(int(math.floor(view.x_u_to_v(dr.x2))), self.width)
+            y_hi = min(int(math.floor(view.y_u_to_v(dr.y1))), self.height)
+            y_lo = max(int(math.ceil(view.y_u_to_v(dr.y2))), 0)
+            if x_hi <= x_lo or y_hi <= y_lo:
+                continue
+            xs = np.arange(x_lo, x_hi)
+            ys = np.arange(y_lo, y_hi)
+            ui = np.clip(((view.x_v_to_u(xs) - rect.x1) / rect.w
+                          * n).astype(np.int64), 0, n - 1)
+            vi = np.clip(((view.y_v_to_u(ys) - rect.y1) / rect.h
+                          * m).astype(np.int64), 0, m - 1)
+            vals = d[ui[None, :], vi[:, None]]
+            rgb = hsv_to_rgb(np.full_like(vals, hue), np.ones_like(vals),
+                             vals)
+            self.image[y_lo:y_hi, x_lo:x_hi] = rgb
+
+    def draw_spectrograms(self, datas: Sequence,
+                          rect: Optional[Rect] = None,
+                          start_plane: int = 0) -> None:
+        for i, d in enumerate(datas):
+            self.draw_spectrogram(d, rect, start_plane + i,
+                                  hue=360.0 * i / len(datas))
+
+    # --- Functions (reference Graph.cpp:232-330) ----------------------------
+    def draw_function(self, f: Callable, domain: Optional[Interval] = None,
+                      plane: int = ALL_PLANES,
+                      color: Optional[Color] = None) -> None:
+        if color is None:
+            color = Color.black()
+        for _, view in self._active_views(
+                Rect(-np.inf, -np.inf, np.inf, np.inf)
+                if domain is None else
+                Rect(domain.x1, -np.inf, domain.x2, np.inf), plane):
+            xs = np.arange(self.width)
+            u = view.x_v_to_u(xs)
+            if domain is not None:
+                sel = (u >= domain.x1) & (u <= domain.x2)
+            else:
+                sel = np.ones_like(u, bool)
+            ys = np.asarray([float(f(x)) for x in u])
+            py = np.round(view.y_u_to_v(ys)).astype(np.int64)
+            for k in range(self.width - 1):
+                if not (sel[k] and sel[k + 1]):
+                    continue
+                y0, y1 = sorted((py[k], py[k + 1]))
+                y0 = max(y0, 0)
+                y1 = min(y1, self.height - 1)
+                if y1 >= y0:
+                    self.image[y0:y1 + 1, k] = color.as_array()
+
+    def draw_points(self, points: Sequence[Tuple[float, float]],
+                    plane: int = ALL_PLANES,
+                    color: Optional[Color] = None, radius: int = 1) -> None:
+        if color is None:
+            color = Color.black()
+        for _, view in self._active_views(
+                Rect(-np.inf, -np.inf, np.inf, np.inf), plane):
+            for (x, y) in points:
+                px = int(round(view.x_u_to_v(x)))
+                py = int(round(view.y_u_to_v(y)))
+                self.image[max(py - radius, 0):py + radius + 1,
+                           max(px - radius, 0):px + radius + 1] = \
+                    color.as_array()
+
+    # --- Axes / grids / ticks (reference Graph.cpp:333-430) -----------------
+    def draw_axes(self, plane: int = ALL_PLANES,
+                  color: Optional[Color] = None) -> None:
+        if color is None:
+            color = Color.black()
+        for _, view in self._active_views(
+                Rect(-np.inf, -np.inf, np.inf, np.inf), plane):
+            px = int(round(view.x_u_to_v(0.0)))
+            py = int(round(view.y_u_to_v(0.0)))
+            y0, y1 = int(view.V.y1), int(view.V.y2)
+            x0, x1 = int(view.V.x1), int(view.V.x2)
+            if 0 <= px < self.width:
+                self.image[max(y0, 0):min(y1, self.height), px] = \
+                    color.as_array()
+            if 0 <= py < self.height:
+                self.image[py, max(x0, 0):min(x1, self.width)] = \
+                    color.as_array()
+
+    def _grid_lines(self, starts, view, vertical, color):
+        for s in starts:
+            if vertical:
+                px = int(round(view.x_u_to_v(s)))
+                if 0 <= px < self.width:
+                    self.image[int(view.V.y1):int(view.V.y2), px] = \
+                        color.as_array()
+            else:
+                py = int(round(view.y_u_to_v(s)))
+                if 0 <= py < self.height:
+                    self.image[py, int(view.V.x1):int(view.V.x2)] = \
+                        color.as_array()
+
+    def draw_linear_grid_x(self, spacing: float, plane: int = ALL_PLANES,
+                           color: Optional[Color] = None) -> None:
+        color = color or Color.black()
+        for _, view in self.views:
+            if plane != ALL_PLANES and view not in [v for p, v in self.views
+                                                    if p in (plane, -1)]:
+                continue
+            start = math.ceil(view.U.x1 / spacing) * spacing
+            xs = np.arange(start, view.U.x2, spacing)
+            self._grid_lines(xs, view, True, color)
+
+    def draw_linear_grid_y(self, spacing: float, plane: int = ALL_PLANES,
+                           color: Optional[Color] = None) -> None:
+        color = color or Color.black()
+        for _, view in self.views:
+            start = math.ceil(view.U.y1 / spacing) * spacing
+            ys = np.arange(start, view.U.y2, spacing)
+            self._grid_lines(ys, view, False, color)
+
+    def draw_log_grid_x(self, spacing: float, base: float,
+                        plane: int = ALL_PLANES,
+                        color: Optional[Color] = None) -> None:
+        """Logarithmically spaced vertical lines: at each unit cell of size
+        `spacing`, base^k subdivisions (reference Graph.cpp log grid)."""
+        color = color or Color.black()
+        for _, view in self.views:
+            cell = math.floor(view.U.x1 / spacing) * spacing
+            xs = []
+            while cell < view.U.x2:
+                for k in range(1, int(base)):
+                    x = cell + math.log(k + 1, base) * spacing
+                    if view.U.x1 <= x <= view.U.x2:
+                        xs.append(x)
+                cell += spacing
+            self._grid_lines(xs, view, True, color)
+
+    def draw_x_ticks(self, jump: float, y: float = 0.0,
+                     offset: float = 0.0, size: float = 4.0,
+                     plane: int = ALL_PLANES,
+                     color: Optional[Color] = None,
+                     label_size: float = 0.0) -> None:
+        color = color or Color.white()
+        for _, view in self.views:
+            start = math.ceil(view.U.x1 / jump) * jump
+            for x in np.arange(start, view.U.x2, jump):
+                px = int(round(view.x_u_to_v(x)))
+                py = int(round(view.y_u_to_v(y)))
+                lo = max(py - int(size), 0)
+                hi = min(py + int(size), self.height - 1)
+                if 0 <= px < self.width and hi >= lo:
+                    self.image[lo:hi + 1, px] = color.as_array()
+
+    def draw_y_ticks(self, jump: float, x: float = 0.0, size: float = 4.0,
+                     plane: int = ALL_PLANES,
+                     color: Optional[Color] = None) -> None:
+        color = color or Color.white()
+        for _, view in self.views:
+            start = math.ceil(view.U.y1 / jump) * jump
+            for y in np.arange(start, view.U.y2, jump):
+                px = int(round(view.x_u_to_v(x)))
+                py = int(round(view.y_u_to_v(y)))
+                lo = max(px - int(size), 0)
+                hi = min(px + int(size), self.width - 1)
+                if 0 <= py < self.height and hi >= lo:
+                    self.image[py, lo:hi + 1] = color.as_array()
+
+    # --- I/O -----------------------------------------------------------------
+    def to_uint8(self) -> np.ndarray:
+        return (np.clip(self.image, 0, 1) * 255).astype(np.uint8)
+
+    def save_image(self, filename: str) -> None:
+        """Write 24-bit BMP (replaces the vendored bitmap_image writer;
+        reference Utility/Bytes.cpp writeBMP)."""
+        write_bmp(filename, self.to_uint8())
+
+
+def write_bmp(filename: str, rgb: np.ndarray) -> None:
+    """Bottom-up 24-bit BMP encoder for [H, W, 3] uint8 (native C++ row
+    encoder when available; numpy fallback)."""
+    import struct
+    from flan_tpu import native
+    h, w, _ = rgb.shape
+    row_size = (3 * w + 3) & ~3
+    data_size = row_size * h
+    body = native.encode_bmp_rows(rgb)
+    if body is None:
+        bgr = rgb[::-1, :, ::-1]  # bottom-up rows, BGR order
+        rows = np.zeros((h, row_size), np.uint8)
+        rows[:, : 3 * w] = bgr.reshape(h, 3 * w)
+        body = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size,
+                      2835, 2835, 0, 0)
+    with open(filename, "wb") as f:
+        f.write(header + dib + body)

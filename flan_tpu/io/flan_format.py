@@ -45,15 +45,18 @@ def write_flan(path: str, mag: np.ndarray, freq: np.ndarray,
     num_channels, num_frames, num_bins = mag.shape
     dft_size = 2 * (num_bins - 1)
 
-    # quantize: clamp to [-1, 1], scale by 2^23, truncate toward zero
-    m_q = np.trunc(np.clip(mag / dft_size, -1.0, 1.0) * _LIMIT).astype(
-        np.int32)
-    f_q = np.trunc(np.clip(freq / sample_rate, -1.0, 1.0) * _LIMIT).astype(
-        np.int32)
-
-    # interleave (m, f) per bin in channel->frame->bin order
-    inter = np.stack([m_q, f_q], axis=-1)  # [C, F, B, 2]
-    data_bytes = _pack_i24(inter).tobytes()
+    from flan_tpu import native
+    data_bytes = native.pack_mf24(mag, freq, float(dft_size),
+                                  float(sample_rate))
+    if data_bytes is None:
+        # quantize: clamp to [-1, 1], scale by 2^23, truncate toward zero
+        m_q = np.trunc(np.clip(mag / dft_size, -1.0, 1.0)
+                       * _LIMIT).astype(np.int32)
+        f_q = np.trunc(np.clip(freq / sample_rate, -1.0, 1.0)
+                       * _LIMIT).astype(np.int32)
+        # interleave (m, f) per bin in channel->frame->bin order
+        inter = np.stack([m_q, f_q], axis=-1)  # [C, F, B, 2]
+        data_bytes = _pack_i24(inter).tobytes()
 
     fmt_body = struct.pack(
         "<HHIIIIIIH", 1, num_channels, num_frames, num_bins,
@@ -86,9 +89,20 @@ def read_flan(path: str) -> Tuple[np.ndarray, np.ndarray, float, int, int]:
     (data_size,) = struct.unpack_from("<I", blob, pos + 4)
     raw = np.frombuffer(blob, dtype=np.uint8, count=data_size,
                         offset=pos + 8)
+    dft_size = 2 * (num_bins - 1)
+    count = num_channels * num_frames * num_bins
+
+    from flan_tpu import native
+    fast = native.unpack_mf24(raw, count, float(dft_size),
+                              float(sample_rate))
+    if fast is not None:
+        mag, freq = fast
+        shape = (num_channels, num_frames, num_bins)
+        return (mag.reshape(shape), freq.reshape(shape),
+                float(sample_rate), int(hop_size), int(window_size))
+
     vals = _unpack_i24(raw.reshape(-1, 3)).astype(np.float64) / _LIMIT
     inter = vals.reshape(num_channels, num_frames, num_bins, 2)
-    dft_size = 2 * (num_bins - 1)
     mag = (inter[..., 0] * dft_size).astype(np.float32)
     freq = (inter[..., 1] * sample_rate).astype(np.float32)
     return mag, freq, float(sample_rate), int(hop_size), int(window_size)

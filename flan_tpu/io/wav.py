@@ -41,6 +41,12 @@ WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 def _decode_samples(raw: bytes, fmt_tag: int, bits: int,
                     num_channels: int) -> np.ndarray:
     """Raw data chunk -> float32 [channels, frames] (channel-major)."""
+    from flan_tpu import native
+    key = ("f32" if bits == 32 else "f64") \
+        if fmt_tag == WAVE_FORMAT_IEEE_FLOAT else bits
+    fast = native.decode_pcm(raw, num_channels, key)
+    if fast is not None:
+        return fast
     if fmt_tag == WAVE_FORMAT_IEEE_FLOAT:
         dtype = np.float32 if bits == 32 else np.float64
         x = np.frombuffer(raw, dtype="<" + np.dtype(dtype).str[1:])
@@ -74,6 +80,11 @@ def _decode_samples(raw: bytes, fmt_tag: int, bits: int,
 
 def _encode_samples(data: np.ndarray, fmt_tag: int, bits: int) -> bytes:
     """float32 [channels, frames] -> raw interleaved bytes."""
+    from flan_tpu import native
+    key = "f32" if fmt_tag == WAVE_FORMAT_IEEE_FLOAT else bits
+    fast = native.encode_pcm(np.asarray(data, np.float32), key)
+    if fast is not None:
+        return fast
     interleaved = np.ascontiguousarray(data.T)  # [frames, channels]
     if fmt_tag == WAVE_FORMAT_IEEE_FLOAT:
         return interleaved.astype("<f4").tobytes()

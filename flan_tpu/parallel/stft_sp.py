@@ -1,0 +1,177 @@
+"""Sequence-parallel phase vocoder: audio sharded along time over a mesh.
+
+The reference has no distributed execution (SURVEY.md section 2 audit); this
+is the green-field multi-chip design for long audio - the audio analog of
+context parallelism (SURVEY.md section 5):
+
+* forward: each device owns a contiguous span of PV hops. Analysis windows
+  reach window/2 samples past the span edges, so devices exchange halo
+  blocks with `jax.lax.ppermute` (ring neighbors over ICI), then run the
+  ordinary batched STFT + lag-1 phase diff locally. The previous-hop phase
+  for the first local hop is recomputed from the halo - no sequential
+  cross-device dependency.
+
+* inverse: the mod-1 cycle accumulation needs a global prefix. Each device
+  scans its local increments, all-gathers the tiny per-device totals
+  ([devices, C, B]), and adds the exclusive prefix of its predecessors -
+  one small collective instead of a sequential pass. The overlap-add tail
+  (window of audio) is ppermuted to the right neighbor and summed.
+
+Run under `jax.shard_map` on a 1-D mesh; validated against the single-chip
+ops on a virtual CPU mesh in tests/test_multichip.py.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flan_tpu.ops.stft import _cdiv, _wrap_radians, num_hops
+from flan_tpu.ops.windows import hann_window
+
+from jax import shard_map
+
+
+def pv_forward_sp(x: jnp.ndarray, mesh: Mesh, *, window_size: int = 2048,
+                  hop: int = 128, dft_size: int = 4096,
+                  sample_rate: float = 48000.0, axis: str = "sp"):
+    """Audio [C, N] -> (mag, freq) [C, nh_padded, B], frame-sharded.
+
+    Output rows beyond num_hops(N, hop) are padding (zero signal).
+    """
+    c, n = x.shape
+    d = mesh.shape[axis]
+    nh = num_hops(n, hop)
+    nh_local = _cdiv(nh, d)
+    nh_pad = nh_local * d
+    nbins = dft_size // 2 + 1
+    analysis_rate = sample_rate / hop
+
+    # pad signal so each device's span is clean: device i owns hops
+    # [i*nh_local, (i+1)*nh_local); its windows read
+    # [i*nh_local*hop - w/2 - hop, ...). Give each shard equal length.
+    n_local = nh_local * hop
+    n_pad = n_local * d
+    xp = jnp.pad(x, [(0, 0), (0, n_pad - n)])
+
+    window = hann_window(window_size)
+    bin_freq = (jnp.arange(nbins, dtype=jnp.float32)
+                * (sample_rate / dft_size))
+    expected = bin_freq / analysis_rate * (2.0 * jnp.pi)
+    # halo: left needs window/2 + hop (helper prev-phase hop), right needs
+    # window/2; one symmetric block, bounded by the shard size
+    halo = window_size // 2 + hop
+    if halo > n_local:
+        raise ValueError(
+            "shard too small for the analysis window halo; use fewer "
+            "devices or longer audio")
+
+    def kernel(x_local):
+        # x_local: [C, n_local]
+        idx = jax.lax.axis_index(axis)
+        left = jax.lax.ppermute(
+            x_local[:, -halo:], axis,
+            [(i, (i + 1) % d) for i in range(d)])
+        right = jax.lax.ppermute(
+            x_local[:, :halo], axis,
+            [(i, (i - 1) % d) for i in range(d)])
+        left = jnp.where(idx == 0, 0.0, left)        # no wraparound signal
+        right = jnp.where(idx == d - 1, 0.0, right)
+        span = jnp.concatenate([left, x_local, right], axis=-1)
+
+        # local hops j = 0..nh_local-1 are global hops idx*nh_local + j;
+        # plus one helper hop for the previous phase
+        h_count = nh_local + 1
+        starts = (jnp.arange(h_count) - 1) * hop - window_size // 2 + halo
+        fidx = starts[:, None] + jnp.arange(window_size)[None, :]
+        # global sample bounds
+        g0 = idx * n_local - halo
+        gidx = fidx + g0
+        valid = (gidx >= 0) & (gidx < n)
+        framed = jnp.take(span, jnp.clip(fidx, 0, span.shape[-1] - 1),
+                          axis=-1)
+        framed = jnp.where(valid[None], framed, 0.0) * window[None, None, :]
+        spec = jnp.fft.rfft(framed, n=dft_size, axis=-1)
+        mag = jnp.abs(spec).astype(jnp.float32)
+        phase = jnp.angle(spec).astype(jnp.float32)
+        prev = jnp.concatenate(
+            [jnp.zeros((c, 1, nbins), jnp.float32), phase[:, :-1]], axis=1)
+        hop_ids = idx * nh_local + jnp.arange(h_count) - 1
+        prev = jnp.where((hop_ids[None, :, None] - 1) < 0, 0.0, prev)
+        delta = _wrap_radians(phase - prev - expected[None, None, :])
+        freq = bin_freq[None, None, :] + delta * (analysis_rate
+                                                   / (2.0 * jnp.pi))
+        return mag[:, 1:], freq[:, 1:].astype(jnp.float32)
+
+    fn = shard_map(kernel, mesh=mesh, in_specs=P(None, axis),
+                   out_specs=(P(None, axis), P(None, axis)))
+    return fn(xp)
+
+
+def pv_inverse_sp(mag: jnp.ndarray, freq: jnp.ndarray, mesh: Mesh, *,
+                  window_size: int = 2048, hop: int = 128,
+                  sample_rate: float = 48000.0, axis: str = "sp"):
+    """(mag, freq) [C, F, B] frame-sharded -> audio [C, F * hop] sharded.
+
+    F must divide evenly by the mesh size (pad frames with zero magnitude).
+    """
+    c, f, nbins = mag.shape
+    d = mesh.shape[axis]
+    assert f % d == 0, "pad PV frames to a multiple of the mesh size"
+    f_local = f // d
+    dft_size = 2 * (nbins - 1)
+    analysis_rate = sample_rate / hop
+
+    wpad = _cdiv(window_size, hop) * hop
+    r = wpad // hop
+    if r * hop > f_local * hop:
+        raise ValueError("shard too small for the overlap-add tail")
+    inv_scale = 2.67 / (dft_size * window_size / hop) * dft_size
+    window = jnp.zeros((wpad,), jnp.float32).at[:window_size].set(
+        hann_window(window_size) * inv_scale)
+
+    def kernel(m, fr):
+        idx = jax.lax.axis_index(axis)
+        inc = jnp.mod(fr / analysis_rate, 1.0)
+        cycles = jax.lax.associative_scan(
+            lambda a, b: jnp.mod(a + b, 1.0), inc, axis=1)
+        # cross-device prefix: all-gather per-device totals (tiny), add
+        # the exclusive mod-1 prefix of predecessors
+        totals = jax.lax.all_gather(cycles[:, -1, :], axis)  # [D, C, B]
+        ranks = jnp.arange(d)[:, None, None]
+        prefix = jnp.sum(jnp.where(ranks < idx, totals, 0.0), axis=0)
+        cycles = jnp.mod(cycles + jnp.mod(prefix, 1.0)[:, None, :], 1.0)
+
+        spec = m * jnp.exp(
+            1j * (cycles * (2.0 * jnp.pi)).astype(jnp.complex64))
+        frames = jnp.fft.irfft(spec, n=dft_size, axis=-1)[..., :wpad]
+        frames = frames * window[None, None, :]
+        blocks = frames.reshape(c, f_local, r, hop)
+        acc = jnp.zeros((c, f_local + r, hop), jnp.float32)
+        for j in range(r):
+            acc = acc.at[:, j:j + f_local, :].add(blocks[:, :, j, :])
+        # ship the overhanging tail to the right neighbor's head; the last
+        # device's tail is returned (replicated) for the final samples
+        tail = acc[:, f_local:, :]
+        shifted = jax.lax.ppermute(
+            tail, axis, [(i, (i + 1) % d) for i in range(d)])
+        shifted = jnp.where(idx == 0, 0.0, shifted)
+        acc = acc.at[:, :r, :].add(shifted)
+        last_tail = jax.lax.psum(
+            jnp.where(idx == d - 1, tail, 0.0), axis)
+        return acc[:, :f_local, :].reshape(c, f_local * hop), last_tail
+
+    fn = shard_map(kernel, mesh=mesh, in_specs=(P(None, axis, None),
+                                                P(None, axis, None)),
+                   out_specs=(P(None, axis), P(None, None, None)))
+    audio, last_tail = fn(mag, freq)
+    # stream = device bodies ++ final tail; the single-chip slice is
+    # stream[window/2 : window/2 + F*hop] (ops.stft.pv_inverse).
+    stream = jnp.concatenate(
+        [audio, last_tail.reshape(c, r * hop)], axis=-1)
+    shift = window_size // 2
+    return stream[:, shift:shift + f * hop]

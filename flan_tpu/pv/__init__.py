@@ -3,6 +3,7 @@ from flan_tpu.pv.pv import PV
 from flan_tpu.pv import algorithms as _algorithms
 from flan_tpu.pv import information as _information
 from flan_tpu.pv import modify_extra as _modify_extra
+from flan_tpu.graph import conversions as _graphing
 
 
 def _bind(module, names):
@@ -25,5 +26,8 @@ _bind(_modify_extra, [
     "desample", "smear_time", "time_extrapolate", "stretch_spline",
     "modify",
 ])
+
+PV.convert_to_graph = _graphing.pv_convert_to_graph
+PV.save_to_bmp = _graphing.pv_save_to_bmp
 
 __all__ = ["PV"]
