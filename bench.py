@@ -1,11 +1,14 @@
-"""Headline benchmark: PV time-stretch pipeline throughput.
+"""Benchmarks for the BASELINE.md configurations.
 
-Measures the BASELINE.md north-star path — load -> convert_to_PV ->
-stretch(2x) -> convert_to_audio — on 10 minutes of stereo 48 kHz audio and
-reports x-realtime per chip. vs_baseline is the ratio against the 50x
-real-time target (>= 1.0 beats the target).
+Default (driver mode): runs the headline north-star path - fused PV
+time-stretch of 10-minute stereo 48 kHz audio - and prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline"} where vs_baseline is the ratio
+against the 50x-realtime target (>= 1.0 beats the target).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`python bench.py --all` additionally times the other BASELINE.json configs
+(round-trip, resample+filter chain, convolution reverb + texture, spectral
+morph) and prints one JSON line per config to stderr, keeping stdout to the
+single driver line.
 """
 import json
 import sys
@@ -14,54 +17,170 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
+def _sync(y):
     import jax.numpy as jnp
-    from flan_tpu.pipelines import pv_stretch_pipeline
+    y.block_until_ready()
+    # block_until_ready alone is unreliable through the remote tunnel; a
+    # tiny device->host fetch guarantees completion.
+    float(jnp.sum(y[..., ::65536]))
 
-    sr = 48000.0
-    seconds = 600.0          # 10-minute stereo file (BASELINE.md target row)
-    window, hop, dft = 2048, 128, 4096
-    stretch_factor = 2.0
 
+def _best_time(fn, reps=3):
+    fn()  # warmup/compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _stereo_test_signal(seconds, sr=48000.0, seed=0):
+    import jax.numpy as jnp
     n = int(seconds * sr)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     t = np.arange(n, dtype=np.float32) / sr
     x = np.stack([
         0.4 * np.sin(2 * np.pi * 220.0 * t) + 0.1 * rng.standard_normal(n),
         0.4 * np.sin(2 * np.pi * 330.0 * t) + 0.1 * rng.standard_normal(n),
     ]).astype(np.float32)
-    x = jnp.asarray(x)
+    return jnp.asarray(x)
 
-    def pipeline(audio):
-        return pv_stretch_pipeline(
-            audio, stretch_factor, window_size=window, hop=hop,
-            dft_size=dft, sample_rate=sr)
 
-    # barrier: block_until_ready alone is unreliable through the remote
-    # tunnel; a tiny device->host fetch guarantees completion.
-    def run_and_sync(audio):
-        y = pipeline(audio)
-        y.block_until_ready()
-        float(jnp.sum(y[..., ::65536]))
-        return y
+def bench_headline():
+    """Config 2 / north star: PV 2x stretch, 10-min stereo 48 kHz."""
+    from flan_tpu.pipelines import pv_stretch_pipeline
+    seconds = 600.0
+    x = _stereo_test_signal(seconds)
 
-    run_and_sync(x)  # warmup / compile
+    def run():
+        _sync(pv_stretch_pipeline(x, 2.0, window_size=2048, hop=128,
+                                  dft_size=4096, sample_rate=48000.0))
 
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run_and_sync(x)
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    best = _best_time(run)
     xrt = seconds / best
-    target = 50.0
-    print(json.dumps({
+    return {
         "metric": "pv_stretch_x_realtime_10min_stereo_48k",
         "value": round(xrt, 2),
         "unit": "x_realtime",
-        "vs_baseline": round(xrt / target, 3),
-    }))
+        "vs_baseline": round(xrt / 50.0, 3),
+    }
+
+
+def bench_roundtrip():
+    """Config 1: Audio -> PV -> Audio identity, mono 44.1k, 1024-pt FFT,
+    4x overlap."""
+    from flan_tpu.ops import stft
+    seconds = 60.0
+    sr = 44100.0
+    x = _stereo_test_signal(seconds, sr)[0:1]
+
+    def run():
+        mag, freq = stft.pv_forward(x, window_size=1024, hop=256,
+                                    dft_size=1024, sample_rate=sr)
+        _sync(stft.pv_inverse(mag, freq, window_size=1024, hop=256,
+                              sample_rate=sr))
+
+    best = _best_time(run)
+    frames = x.shape[-1] / 256  # PV frames processed (fwd+inv)
+    return {
+        "metric": "stft_roundtrip_x_realtime_60s_mono_44k1",
+        "value": round(seconds / best, 2),
+        "unit": "x_realtime",
+        "mframes_per_sec": round(2 * frames / best / 1e6, 3),
+    }
+
+
+def bench_resample_filter():
+    """Config 3: 44.1k -> 48k resample + filter bank."""
+    from flan_tpu import Audio
+    seconds = 60.0
+    x = _stereo_test_signal(seconds, 44100.0)
+    a = Audio(data=x, sample_rate=44100.0)
+
+    def run():
+        out = (a.resample(48000.0)
+               .filter_2pole_lowpass(8000.0, 0.5, 2)
+               .filter_2pole_highpass(60.0, 0.5, 2)
+               .filter_1pole_lowshelf(200.0, 3.0))
+        _sync(out.data)
+
+    best = _best_time(run)
+    return {
+        "metric": "resample_filterbank_x_realtime_60s_stereo",
+        "value": round(seconds / best, 2),
+        "unit": "x_realtime",
+    }
+
+
+def bench_convolve_texture():
+    """Config 4: FFT convolution reverb + granular texture."""
+    from flan_tpu import Audio
+    seconds = 30.0
+    x = _stereo_test_signal(seconds)
+    a = Audio(data=x, sample_rate=48000.0)
+    rng = np.random.default_rng(1)
+    ir = Audio.create_from_array(
+        (rng.standard_normal(48000).astype(np.float32)
+         * np.exp(-np.arange(48000) / 8000.0))[None], 48000.0)
+
+    def run():
+        wet = a.convolve(ir)
+        _sync(wet.data)
+
+    best = _best_time(run)
+
+    def run_texture():
+        tex = a.cut(0.0, 0.25).texture(seconds, 20.0, 0.2, seed=0)
+        _sync(tex.data)
+
+    best_tex = _best_time(run_texture, reps=2)
+    return {
+        "metric": "convolve_reverb_x_realtime_30s_stereo",
+        "value": round(seconds / best, 2),
+        "unit": "x_realtime",
+        "texture_x_realtime": round(seconds / best_tex, 2),
+    }
+
+
+def bench_morph():
+    """Config 5: spectral morph between two PVs with lambda controls."""
+    from flan_tpu import Audio
+    import jax.numpy as jnp
+    seconds = 60.0
+    a = Audio(data=_stereo_test_signal(seconds, seed=0),
+              sample_rate=48000.0)
+    b = Audio(data=_stereo_test_signal(seconds, seed=1),
+              sample_rate=48000.0)
+    pv_a = a.convert_to_PV()
+    pv_b = b.convert_to_PV()
+    _sync(pv_a.mag)
+    _sync(pv_b.mag)
+
+    def run():
+        morph = pv_a.replace_amplitudes(
+            pv_b, lambda t, f: jnp.clip(t / seconds, 0.0, 1.0))
+        _sync(morph.convert_to_audio().data)
+
+    best = _best_time(run, reps=2)
+    return {
+        "metric": "spectral_morph_x_realtime_60s_stereo",
+        "value": round(seconds / best, 2),
+        "unit": "x_realtime",
+    }
+
+
+def main():
+    headline = bench_headline()
+    if "--all" in sys.argv:
+        for fn in (bench_roundtrip, bench_resample_filter,
+                   bench_convolve_texture, bench_morph):
+            try:
+                print(json.dumps(fn()), file=sys.stderr)
+            except Exception as e:  # keep the driver line intact
+                print(json.dumps({"metric": fn.__name__,
+                                  "error": str(e)}), file=sys.stderr)
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -267,7 +267,59 @@ class Audio(AudioBuffer):
         return normalized.modify_volume(level)
 
     def ring_modulate(self, other: "Audio") -> "Audio":
-        """Sample-wise product (reference AudioVolume.cpp)."""
-        n = min(self.num_frames, other.num_frames)
-        c = min(self.num_channels, other.num_channels)
-        return self._with(data=self.data[:c, :n] * other.data[:c, :n])
+        """Sample-wise product; shorter inputs wrap cyclically
+        (reference AudioVolume.cpp:15-30)."""
+        if self.is_null() or other.is_null():
+            return Audio.create_null()
+        ch = jnp.mod(jnp.arange(self.num_channels), other.num_channels)
+        fr = jnp.mod(jnp.arange(self.num_frames), other.num_frames)
+        return self._with(data=self.data * other.data[ch][:, fr])
+
+    def get_max_sample_magnitude(self, start_time: float = 0.0,
+                                 end_time: float = 0.0) -> float:
+        """(reference AudioBuffer.h:164)"""
+        if self.is_null():
+            return 0.0
+        a = self.time_to_frame(start_time)
+        b = self.time_to_frame(end_time) if end_time != 0 \
+            else self.num_frames
+        return float(jnp.max(jnp.abs(self.data[:, a:b])))
+
+    # --- In-place variants --------------------------------------------------
+    # The reference offers *_in_place methods to avoid copies
+    # (Audio.h:541-592); JAX buffers are immutable and XLA elides copies,
+    # so these are parity aliases returning the new object.
+    def modify_volume_in_place(self, gain):
+        return self.modify_volume(gain)
+
+    def set_volume_in_place(self, level):
+        return self.set_volume(level)
+
+    def fade_in_place(self, start=16.0 / 48000.0, end=16.0 / 48000.0,
+                      interp=None):
+        from flan_tpu.func import interpolators as _i
+        return self.fade(start, end, interp or _i.sqrt)
+
+    def fade_frames_in_place(self, start=16, end=16, interp=None):
+        from flan_tpu.func import interpolators as _i
+        return self.fade_frames(start, end, interp or _i.sqrt)
+
+    def pan_in_place(self, pan_position):
+        return self.pan(pan_position)
+
+    def mix_in_place(self, other, other_start_time: float = 0.0,
+                     other_amplitude=1.0):
+        """(reference AudioCombination.cpp:181-203)"""
+        mixed = Audio.mix([self, other],
+                          start_times=[0.0, other_start_time],
+                          gains=[1.0, other_amplitude])
+        # the reference keeps this buffer's length
+        return mixed._with(data=mixed.data[:self.num_channels,
+                                           :self.num_frames])
+
+    def play(self) -> None:
+        """The reference's play() is Windows-only (AudioBuffer.h:220-222);
+        here it is unsupported on the TPU host."""
+        raise NotImplementedError(
+            "Audio.play is not available (the reference supports it only "
+            "on win32); save_to_file and play externally")
