@@ -16,6 +16,9 @@ from flan_tpu.utils.geometry import Color, Interval, Rect, View
 from flan_tpu.func.function import (Function, Function2d, adsr, as_function,
                                     as_function2d, waveforms)
 from flan_tpu.func import interpolators
+from flan_tpu.func.function_sample import FunctionSample, FunctionSample2d
+from flan_tpu.func.pipe import Pipe
+from flan_tpu.spectrum import Spectrum
 
 __version__ = "0.1.0"
 
@@ -24,6 +27,7 @@ __all__ = [
     "PV", "PVBuffer", "PVFormat", "SPV", "SQPV",
     "Wavetable", "SnapMode", "PitchMode",
     "Graph", "WaveformMode", "Color", "Interval", "Rect", "View",
+    "FunctionSample", "FunctionSample2d", "Pipe", "Spectrum",
     "Function", "Function2d", "adsr", "as_function", "as_function2d",
     "waveforms", "interpolators",
 ]

@@ -65,15 +65,39 @@ def matrix_affine_recurrence(A: jnp.ndarray, b: jnp.ndarray,
                              y0: jnp.ndarray) -> jnp.ndarray:
     """Solve y[n] = A[n] @ y[n-1] + b[n] for small state dims, in parallel.
 
-    A: [..., T, k, k], b: [..., T, k], y0: [..., k]. Scans along the T axis
-    (axis -3 of A / -2 of b). The per-step compose is a k x k matmul on the
-    VPU; k is 2 for the reference's 2-pole SVF state (s1, s2).
+    A: [..., T, k, k], b: [..., T, k], y0: [..., k]. Scans along the T
+    axis; k is 2 for the reference's 2-pole SVF state (s1, s2).
+
+    Internally the matrix dims are moved to the FRONT so the long T axis
+    rides the vector lanes: scanning [..., T, 2, 2] directly leaves T on a
+    sublane-tiled axis, which this TPU backend refuses at large T
+    (UNIMPLEMENTED) - with [k, k, ..., T] every combine is a plain
+    elementwise multiply-add over lane-major arrays, the same class as
+    linear_recurrence.
     """
+    k = A.shape[-1]
+    # [k*k, ..., T] and [k, ..., T]: same ndim so associative_scan can use
+    # one axis index; A[i, j] lives at flat index i*k + j
+    At = jnp.transpose(A, (A.ndim - 2, A.ndim - 1)
+                       + tuple(range(A.ndim - 2)))
+    At = At.reshape((k * k,) + At.shape[2:])
+    bt = jnp.transpose(b, (b.ndim - 1,) + tuple(range(b.ndim - 1)))
+
     def combine(l, r):
         Al, bl = l
         Ar, br = r
-        return (jnp.einsum("...ij,...jk->...ik", Ar, Al),
-                jnp.einsum("...ij,...j->...i", Ar, bl) + br)
+        # (Ar @ Al)[i, j] = sum_m Ar[i, m] * Al[m, j], elementwise over T
+        AA = jnp.stack([
+            sum(Ar[i * k + m] * Al[m * k + j] for m in range(k))
+            for i in range(k) for j in range(k)], axis=0)
+        bb = jnp.stack([
+            sum(Ar[i * k + m] * bl[m] for m in range(k)) + br[i]
+            for i in range(k)], axis=0)
+        return AA, bb
 
-    AA, bb = jax.lax.associative_scan(combine, (A, b), axis=A.ndim - 3)
-    return jnp.einsum("...tij,...j->...ti", AA, y0) + bb
+    AA, bb = jax.lax.associative_scan(combine, (At, bt), axis=At.ndim - 1)
+    # y[t] = AA[t] @ y0 + bb[t], components over leading dims
+    y = jnp.stack([
+        sum(AA[i * k + m] * y0[..., m, None] for m in range(k)) + bb[i]
+        for i in range(k)], axis=0)                   # [k, ..., T]
+    return jnp.moveaxis(y, 0, -1)                      # [..., T, k]
