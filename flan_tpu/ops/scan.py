@@ -18,6 +18,57 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Block length for the two-level (tiled) scans. Long scans are reshaped to
+# [..., nblocks, BLOCK] and solved as one within-block associative scan
+# plus a tiny cross-block scan: every intermediate shape is then uniform
+# and power-of-2 along the scanned axis, which this TPU backend compiles
+# and runs well (a single associative_scan over an arbitrary ~10^5+ length
+# generates deep odd/even slicing that it handles poorly).
+BLOCK = 4096
+
+
+def _tiled_scan(combine, identity, elems, axis: int = -1):
+    """Inclusive associative scan along `axis` via two power-of-2 levels.
+
+    combine: pytree combine fn; identity: pytree of scalars used for
+    padding; elems: pytree of equal-shape arrays.
+    """
+    leaves = jax.tree_util.tree_leaves(elems)
+    n = leaves[0].shape[axis]
+    if n <= BLOCK:
+        return jax.lax.associative_scan(combine, elems, axis=axis)
+
+    def to_last(x):
+        return jnp.moveaxis(x, axis, -1)
+
+    def pad_block(x, ident):
+        pad_n = (-n) % BLOCK
+        if pad_n == 0:
+            return x
+        pad_widths = [(0, 0)] * (x.ndim - 1) + [(0, pad_n)]
+        return jnp.pad(x, pad_widths, constant_values=ident)
+
+    moved = jax.tree_util.tree_map(to_last, elems)
+    padded = jax.tree_util.tree_map(pad_block, moved, identity)
+    nb = (n + BLOCK - 1) // BLOCK
+    blocked = jax.tree_util.tree_map(
+        lambda x: x.reshape(x.shape[:-1] + (nb, BLOCK)), padded)
+
+    inner = jax.lax.associative_scan(combine, blocked, axis=-1)
+    totals = jax.tree_util.tree_map(lambda x: x[..., -1], inner)
+    tot_scan = jax.lax.associative_scan(combine, totals, axis=-1)
+    # exclusive prefix per block: identity for block 0
+    carry = jax.tree_util.tree_map(
+        lambda x, ident: jnp.concatenate(
+            [jnp.full(x.shape[:-1] + (1,), ident, x.dtype), x[..., :-1]],
+            axis=-1),
+        tot_scan, identity)
+    carry_b = jax.tree_util.tree_map(lambda x: x[..., None], carry)
+    out = combine(carry_b, inner)
+    out = jax.tree_util.tree_map(
+        lambda x: x.reshape(x.shape[:-2] + (nb * BLOCK,))[..., :n], out)
+    return jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, -1, axis), out)
+
 
 def linear_recurrence(a: jnp.ndarray, b: jnp.ndarray,
                       y0=0.0, axis: int = -1) -> jnp.ndarray:
@@ -32,7 +83,7 @@ def linear_recurrence(a: jnp.ndarray, b: jnp.ndarray,
         ar, br = r
         return al * ar, bl * ar + br
 
-    aa, bb = jax.lax.associative_scan(combine, (a, b), axis=axis)
+    aa, bb = _tiled_scan(combine, (1.0, 0.0), (a, b), axis=axis)
     y0_arr = jnp.asarray(y0, b.dtype)
     return aa * y0_arr + bb
 
@@ -56,7 +107,11 @@ def max_affine_recurrence(m: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
         mr, ar, cr = r
         return (jnp.maximum(mr, ar * ml + cr), al * ar, ar * cl + cr)
 
-    mm, aa, cc = jax.lax.associative_scan(combine, (m, a, c), axis=axis)
+    # identity m must be finite: decay products underflow to exactly 0 and
+    # 0 * -inf = NaN. A large negative finite value represents the same
+    # map (max(m', 0*y + c') == max(m', c') either way).
+    mm, aa, cc = _tiled_scan(combine, (-1e30, 1.0, 0.0), (m, a, c),
+                             axis=axis)
     y0_arr = jnp.asarray(y0, m.dtype)
     return jnp.maximum(mm, aa * y0_arr + cc)
 
@@ -68,34 +123,38 @@ def matrix_affine_recurrence(A: jnp.ndarray, b: jnp.ndarray,
     A: [..., T, k, k], b: [..., T, k], y0: [..., k]. Scans along the T
     axis; k is 2 for the reference's 2-pole SVF state (s1, s2).
 
-    Internally the matrix dims are moved to the FRONT so the long T axis
-    rides the vector lanes: scanning [..., T, 2, 2] directly leaves T on a
-    sublane-tiled axis, which this TPU backend refuses at large T
-    (UNIMPLEMENTED) - with [k, k, ..., T] every combine is a plain
-    elementwise multiply-add over lane-major arrays, the same class as
-    linear_recurrence.
+    Each matrix/vector component is its own scan leaf with the time axis
+    last (lane-major): scanning [..., T, 2, 2] directly leaves T on a
+    sublane-tiled axis, which this TPU backend handles poorly at large T.
+    The component identity scalars let the tiled two-level scan pad blocks.
     """
     k = A.shape[-1]
-    # [k*k, ..., T] and [k, ..., T]: same ndim so associative_scan can use
-    # one axis index; A[i, j] lives at flat index i*k + j
-    At = jnp.transpose(A, (A.ndim - 2, A.ndim - 1)
-                       + tuple(range(A.ndim - 2)))
-    At = At.reshape((k * k,) + At.shape[2:])
+    perm_a = (A.ndim - 2, A.ndim - 1) + tuple(range(A.ndim - 2))
+    At = jnp.transpose(A, perm_a)                     # [k, k, ..., T]
     bt = jnp.transpose(b, (b.ndim - 1,) + tuple(range(b.ndim - 1)))
+    a_leaves = tuple(At[i, j] for i in range(k) for j in range(k))
+    b_leaves = tuple(bt[i] for i in range(k))
+    identity = tuple(1.0 if i == j else 0.0
+                     for i in range(k) for j in range(k)) \
+        + (0.0,) * k
 
     def combine(l, r):
-        Al, bl = l
-        Ar, br = r
         # (Ar @ Al)[i, j] = sum_m Ar[i, m] * Al[m, j], elementwise over T
-        AA = jnp.stack([
-            sum(Ar[i * k + m] * Al[m * k + j] for m in range(k))
-            for i in range(k) for j in range(k)], axis=0)
-        bb = jnp.stack([
-            sum(Ar[i * k + m] * bl[m] for m in range(k)) + br[i]
-            for i in range(k)], axis=0)
-        return AA, bb
+        al = l[: k * k]
+        bl = l[k * k:]
+        ar = r[: k * k]
+        br = r[k * k:]
+        aa = tuple(
+            sum(ar[i * k + m] * al[m * k + j] for m in range(k))
+            for i in range(k) for j in range(k))
+        bb = tuple(
+            sum(ar[i * k + m] * bl[m] for m in range(k)) + br[i]
+            for i in range(k))
+        return aa + bb
 
-    AA, bb = jax.lax.associative_scan(combine, (At, bt), axis=At.ndim - 1)
+    out = _tiled_scan(combine, identity, a_leaves + b_leaves, axis=-1)
+    AA = out[: k * k]
+    bb = out[k * k:]
     # y[t] = AA[t] @ y0 + bb[t], components over leading dims
     y = jnp.stack([
         sum(AA[i * k + m] * y0[..., m, None] for m in range(k)) + bb[i]
