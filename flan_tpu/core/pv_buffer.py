@@ -124,6 +124,18 @@ class PVBuffer:
               f"bins={self.num_bins} sample_rate={self.sample_rate} "
               f"hop={self.hop_size} window={self.window_size}")
 
+    def get_max_partial_magnitude(self, start_frame: int = 0,
+                                  end_frame: int = 0, start_bin: int = 0,
+                                  end_bin: int = 0) -> float:
+        """Max |magnitude| over a window (reference PVBuffer.h:164-171;
+        zero end means 'to the end')."""
+        if self.is_null():
+            return 0.0
+        ef = end_frame if end_frame != 0 else self.num_frames
+        eb = end_bin if end_bin != 0 else self.num_bins
+        return float(jnp.max(jnp.abs(
+            self.mag[:, start_frame:ef, start_bin:eb])))
+
     def get_MF(self, channel: int, frame: int, b: int):
         return (float(self.mag[channel, frame, b]),
                 float(self.freq[channel, frame, b]))

@@ -27,6 +27,33 @@ import jax.numpy as jnp
 BLOCK = 4096
 
 
+def _hillis_steele_scan(combine, identity, elems, axis: int = -1):
+    """Inclusive scan via shift-and-combine doubling steps.
+
+    O(n log n) work but every memory op is a contiguous pad/slice -
+    jax.lax.associative_scan's odd/even recursion emits stride-2 lane
+    slices that this TPU backend cannot lower (UNIMPLEMENTED), so all
+    device scans route through this form.
+    """
+    leaves = jax.tree_util.tree_leaves(elems)
+    n = leaves[0].shape[axis]
+
+    def shift(x, d, ident):
+        pad = [(0, 0)] * x.ndim
+        pad[axis if axis >= 0 else x.ndim + axis] = (d, 0)
+        sl = [slice(None)] * x.ndim
+        sl[axis if axis >= 0 else x.ndim + axis] = slice(0, x.shape[axis])
+        return jnp.pad(x, pad, constant_values=ident)[tuple(sl)]
+
+    d = 1
+    while d < n:
+        shifted = jax.tree_util.tree_map(
+            lambda x, ident: shift(x, d, ident), elems, identity)
+        elems = combine(shifted, elems)
+        d *= 2
+    return elems
+
+
 def _tiled_scan(combine, identity, elems, axis: int = -1):
     """Inclusive associative scan along `axis` via two power-of-2 levels.
 
@@ -36,7 +63,7 @@ def _tiled_scan(combine, identity, elems, axis: int = -1):
     leaves = jax.tree_util.tree_leaves(elems)
     n = leaves[0].shape[axis]
     if n <= BLOCK:
-        return jax.lax.associative_scan(combine, elems, axis=axis)
+        return _hillis_steele_scan(combine, identity, elems, axis=axis)
 
     def to_last(x):
         return jnp.moveaxis(x, axis, -1)
@@ -54,9 +81,9 @@ def _tiled_scan(combine, identity, elems, axis: int = -1):
     blocked = jax.tree_util.tree_map(
         lambda x: x.reshape(x.shape[:-1] + (nb, BLOCK)), padded)
 
-    inner = jax.lax.associative_scan(combine, blocked, axis=-1)
+    inner = _hillis_steele_scan(combine, identity, blocked, axis=-1)
     totals = jax.tree_util.tree_map(lambda x: x[..., -1], inner)
-    tot_scan = jax.lax.associative_scan(combine, totals, axis=-1)
+    tot_scan = _hillis_steele_scan(combine, identity, totals, axis=-1)
     # exclusive prefix per block: identity for block 0
     carry = jax.tree_util.tree_map(
         lambda x, ident: jnp.concatenate(

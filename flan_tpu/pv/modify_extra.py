@@ -96,8 +96,6 @@ def smear_time(self, smear_size, granularity=5, distribution=None,
     min_gran = max(1, int(jnp.min(gran)))
     offs = offs * min_gran if min_gran > 1 else offs
 
-    out_mag = jnp.zeros((c, f_out, b), jnp.float32)
-    out_freq = jnp.zeros((c, f_out, b), jnp.float32)
     in_frame = jnp.clip(jnp.arange(f_out) - left, 0, f - 1)
 
     exp_o = exp_frames[in_frame]                          # [F_out, B]
