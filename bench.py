@@ -171,16 +171,31 @@ def bench_morph():
 
 
 def main():
-    headline = bench_headline()
+    if "--one" in sys.argv:
+        # run a single named config (used by --all's subprocess isolation)
+        name = sys.argv[sys.argv.index("--one") + 1]
+        print(json.dumps(globals()[name]()))
+        return
     if "--all" in sys.argv:
-        for fn in (bench_roundtrip, bench_resample_filter,
-                   bench_convolve_texture, bench_morph):
+        # a lowering failure poisons subsequent dispatches through the
+        # remote backend, so each config gets its own process
+        import os
+        import subprocess
+        for fn in ("bench_roundtrip", "bench_resample_filter",
+                   "bench_convolve_texture", "bench_morph"):
             try:
-                print(json.dumps(fn()), file=sys.stderr)
-            except Exception as e:  # keep the driver line intact
-                print(json.dumps({"metric": fn.__name__,
-                                  "error": str(e)}), file=sys.stderr)
-    print(json.dumps(headline))
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--one",
+                     fn], capture_output=True, text=True, timeout=1800,
+                    cwd=os.path.dirname(os.path.abspath(__file__)))
+                out = r.stdout.strip().splitlines()
+                print(out[-1] if out else json.dumps(
+                    {"metric": fn, "error": r.stderr[-200:]}),
+                    file=sys.stderr)
+            except Exception as e:
+                print(json.dumps({"metric": fn, "error": str(e)}),
+                      file=sys.stderr)
+    print(json.dumps(bench_headline()))
 
 
 if __name__ == "__main__":

@@ -174,13 +174,15 @@ def _butterworth_2pole(self, order, cutoff, damping, sel: int,
         M2 = None
 
     alpha = jnp.arccos(jnp.clip(R, -1.0, 1.0)) / order
-    # pole splitter: R>1 -> real scaling, else complex rotation
+    # pole splitter: R>1 -> real scaling, else complex rotation.
+    # Expanded to real/imag components: large 1-D complex64 arithmetic is
+    # unimplemented on this TPU backend.
     scaler_real = jnp.power(R + jnp.sqrt(jnp.maximum(R * R - 1.0, 0.0)),
                             1.0 / order)
     over = R > 1.0
     sc_re = jnp.where(over, scaler_real, jnp.cos(alpha))
     sc_im = jnp.where(over, 0.0, -jnp.sin(alpha))
-    scaler = sc_re + 1j * sc_im
+    sc_mag2 = sc_re * sc_re + sc_im * sc_im
 
     def stage_out(lp, bp, hp):
         if tilt_gain is None:
@@ -197,11 +199,18 @@ def _butterworth_2pole(self, order, cutoff, damping, sel: int,
         lp, bp, hp = svf_core(y, _g_of(self, w)[None, :], real_R[None, :])
         y = stage_out(lp, bp, hp)
     for p in poles:
-        p_w = (p.real + 1j * p.imag) * w.astype(jnp.complex64)
-        for pole_c in (p_w * scaler, p_w / scaler):
-            pw = jnp.abs(pole_c)
-            pr = -jnp.real(pole_c) / jnp.maximum(pw, 1e-9)
-            lp, bp, hp = svf_core(y, _g_of(self, pw)[None, :], pr[None, :])
+        pw_re = p.real * w
+        pw_im = p.imag * w
+        # pole * scaler and pole / scaler (conjugate over |scaler|^2)
+        mul = (pw_re * sc_re - pw_im * sc_im,
+               pw_re * sc_im + pw_im * sc_re)
+        div = ((pw_re * sc_re + pw_im * sc_im) / sc_mag2,
+               (pw_im * sc_re - pw_re * sc_im) / sc_mag2)
+        for re, im in (mul, div):
+            mag = jnp.sqrt(re * re + im * im)
+            pr = -re / jnp.maximum(mag, 1e-9)
+            lp, bp, hp = svf_core(y, _g_of(self, mag)[None, :],
+                                  pr[None, :])
             y = stage_out(lp, bp, hp)
     return self._with(data=y)
 
@@ -576,19 +585,29 @@ def _hilbert_pair(self):
 
 def halfband_modulate(self, modulator):
     """Multiply the analytic signal by a complex modulator
-    (reference AudioFilter.cpp:1173-1197)."""
+    (reference AudioFilter.cpp:1173-1197). The modulator may return a
+    complex array or a (real, imag) tuple; components are used separately
+    (large 1-D complex arithmetic is unimplemented on this backend)."""
     from flan_tpu.audio.audio import Audio
     if self.is_null():
         return Audio.create_null()
     re, im = _hilbert_pair(self)
     t = jnp.arange(self.num_frames, dtype=jnp.float32) / self.sample_rate
     fn = as_function(modulator) if not callable(modulator) else modulator
-    m = fn(t) if callable(fn) else jnp.full(
-        (self.num_frames,), fn.constant_value)
-    m = jnp.asarray(m)
-    if not jnp.iscomplexobj(m):
-        m = m.astype(jnp.complex64)
-    out = re * jnp.real(m)[None, :] - im * jnp.imag(m)[None, :]
+    m = fn(t) if callable(fn) else (fn.constant_value, 0.0)
+    if isinstance(m, tuple):
+        m_re = jnp.broadcast_to(jnp.asarray(m[0], jnp.float32),
+                                (self.num_frames,))
+        m_im = jnp.broadcast_to(jnp.asarray(m[1], jnp.float32),
+                                (self.num_frames,))
+    else:
+        m = jnp.asarray(m)
+        m_re = jnp.real(m).astype(jnp.float32)
+        m_im = (jnp.imag(m).astype(jnp.float32)
+                if jnp.iscomplexobj(m) else jnp.zeros_like(m_re))
+        m_re = jnp.broadcast_to(m_re, (self.num_frames,))
+        m_im = jnp.broadcast_to(m_im, (self.num_frames,))
+    out = re * m_re[None, :] - im * m_im[None, :]
     return self._with(data=out.astype(jnp.float32))
 
 
@@ -613,13 +632,15 @@ def shift_frequency(self, shift, low_cutoff: float = 30.0):
             (t * self.sample_rate).astype(jnp.int32), 0,
             self.num_frames - 1)], 8)
 
-    omega = s * (2.0 * jnp.pi) / self.sample_rate
-    phase = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(omega)[:-1]])
+    # exclusive mod-1 cycle accumulation (float32-safe for long audio)
+    cycles = jnp.mod(s / self.sample_rate, 1.0)
+    acc = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(cycles)[:-1]])
+    phase = jnp.mod(acc, 1.0) * (2.0 * jnp.pi)
 
     def modulator(t):
         idx = jnp.clip((t * self.sample_rate).astype(jnp.int32), 0,
                        self.num_frames - 1)
-        return jnp.exp(1j * phase[idx].astype(jnp.complex64))
+        return (jnp.cos(phase[idx]), jnp.sin(phase[idx]))
 
     return halfband_modulate(antialiased, modulator)
 

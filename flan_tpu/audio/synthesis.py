@@ -151,8 +151,10 @@ def synthesize_spectrum(length: float, freq, spread=None,
     key = jax.random.PRNGKey(seed)
     theta = jax.random.uniform(key, (nbins,), jnp.float32, 0.0,
                                2.0 * math.pi)
-    spectrum = r * jnp.exp(1j * theta.astype(jnp.complex64))
-    # FFTW's unnormalized c2r vs jnp's 1/n normalization
+    # complex built from real components (large 1-D complex arithmetic is
+    # unimplemented on this backend); FFTW's unnormalized c2r vs jnp's
+    # 1/n normalization
+    spectrum = jax.lax.complex(r * jnp.cos(theta), r * jnp.sin(theta))
     table = jnp.fft.irfft(spectrum, n=wavelength) * wavelength
 
     out_frames = int(length * sample_rate)
