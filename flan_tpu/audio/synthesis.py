@@ -267,6 +267,27 @@ def synthesize_grains(length: float, grains_per_second, time_scatter,
     return Audio.mix(grains, start_times=list(times[:len(grains)]))
 
 
+def _mix_repeated(audio, times: np.ndarray, gains=None):
+    """Sum copies of one clip at event times: one FFT convolution with an
+    impulse train instead of len(times) scatter-adds (the reference's
+    synthesize_grains_repeat mixes copy-by-copy,
+    AudioSynthesis.cpp:401-421)."""
+    from flan_tpu.audio.audio import Audio
+    from flan_tpu.core.types import power_of_2_container
+    sr = audio.sample_rate
+    frames = np.asarray(np.round(np.asarray(times) * sr), np.int64)
+    out_frames = int(frames.max()) + audio.num_frames
+    train = np.zeros(out_frames, np.float32)
+    np.add.at(train, frames,
+              np.ones(len(frames), np.float32) if gains is None
+              else np.asarray(gains, np.float32))
+    dft = 2 * power_of_2_container(max(out_frames, audio.num_frames))
+    spec = (jnp.fft.rfft(jnp.asarray(train), n=dft)[None, :]
+            * jnp.fft.rfft(audio.data, n=dft, axis=-1))
+    out = jnp.fft.irfft(spec, n=dft, axis=-1)[:, :out_frames]
+    return Audio(data=out.astype(jnp.float32), sample_rate=sr)
+
+
 def texture(self, length: float, grains_per_second, time_scatter,
             mod=None, mod_feedback: bool = False, *, seed: int = 0):
     """Granular texture from a single source
@@ -279,7 +300,7 @@ def texture(self, length: float, grains_per_second, time_scatter,
     if len(times) == 0:
         return Audio.create_null()
     if mod is None:
-        return Audio.mix([self] * len(times), start_times=list(times))
+        return _mix_repeated(self, times)
     grains = []
     current = self
     for i, t in enumerate(times):

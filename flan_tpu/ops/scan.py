@@ -97,6 +97,63 @@ def _tiled_scan(combine, identity, elems, axis: int = -1):
     return jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, -1, axis), out)
 
 
+# Above this length, first-order recurrences switch from the log-depth
+# shift-combine scan (O(n log n) memory traffic) to the lane-parallel
+# two-pass scan: the time axis is folded onto LANES lanes, each lane scans
+# its contiguous segment sequentially with one cheap [LANES]-wide vector op
+# per step, and lane-boundary states are fixed up with one tiny scan. Work
+# drops to ~2n; sequential depth is n/LANES steps of VPU-width ops (the
+# blocked parallel-scan design from SURVEY.md hard-part 2).
+LANE_SCAN_MIN = 65536
+LANES = 1024
+
+
+def _lane_scan(combine, identity, leaves):
+    """Inclusive scan of associative maps along the last axis via the
+    lane-parallel two-pass method: fold time onto LANES contiguous
+    segments, sequential-scan one [LANES]-wide row per step, then fix up
+    lane boundaries with one tiny cross-lane scan.
+
+    leaves: tuple of [..., n] arrays (the map components); identity: tuple
+    of scalar identity components. Returns the scanned tuple.
+    """
+    n = leaves[0].shape[-1]
+    lead = leaves[0].shape[:-1]
+    seg = -(-n // LANES)
+    pad = seg * LANES - n
+
+    def prep(x, ident):
+        if pad:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)],
+                        constant_values=ident)
+        x = x.reshape(lead + (LANES, seg)).swapaxes(-1, -2)
+        return jnp.moveaxis(x, -2, 0)      # [seg, ..., LANES]
+
+    rows = tuple(prep(x, i) for x, i in zip(leaves, identity))
+    init = tuple(jnp.full(lead + (LANES,), i, leaves[0].dtype)
+                 for i in identity)
+
+    def body(carry, row):
+        new = combine(carry, row)
+        return new, new
+
+    _, locs = jax.lax.scan(body, init, rows)
+    locs = tuple(jnp.moveaxis(x, 0, -2) for x in locs)  # [..., seg, LANES]
+
+    totals = tuple(x[..., -1, :] for x in locs)
+    prefix = _hillis_steele_scan(combine, identity, totals, axis=-1)
+    # exclusive shift across lanes
+    prefix = tuple(
+        jnp.concatenate([jnp.full_like(x[..., :1], i), x[..., :-1]],
+                        axis=-1)
+        for x, i in zip(prefix, identity))
+    prefix_b = tuple(x[..., None, :] for x in prefix)
+    out = combine(prefix_b, locs)
+    return tuple(
+        x.swapaxes(-1, -2).reshape(lead + (seg * LANES,))[..., :n]
+        for x in out)
+
+
 def linear_recurrence(a: jnp.ndarray, b: jnp.ndarray,
                       y0=0.0, axis: int = -1) -> jnp.ndarray:
     """Solve y[n] = a[n] * y[n-1] + b[n] with y[-1] = y0, in parallel.
@@ -104,14 +161,21 @@ def linear_recurrence(a: jnp.ndarray, b: jnp.ndarray,
     a, b broadcastable; scan along `axis`. Returns y with same shape as b.
     """
     a = jnp.broadcast_to(a, b.shape).astype(b.dtype)
+    y0_arr = jnp.asarray(y0, b.dtype)
 
     def combine(l, r):
         al, bl = l
         ar, br = r
         return al * ar, bl * ar + br
 
+    n = b.shape[axis]
+    if n >= LANE_SCAN_MIN:
+        aa, bb = _lane_scan(combine, (1.0, 0.0),
+                            (jnp.moveaxis(a, axis, -1),
+                             jnp.moveaxis(b, axis, -1)))
+        return jnp.moveaxis(aa * y0_arr + bb, -1, axis)
+
     aa, bb = _tiled_scan(combine, (1.0, 0.0), (a, b), axis=axis)
-    y0_arr = jnp.asarray(y0, b.dtype)
     return aa * y0_arr + bb
 
 
@@ -137,8 +201,14 @@ def max_affine_recurrence(m: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
     # identity m must be finite: decay products underflow to exactly 0 and
     # 0 * -inf = NaN. A large negative finite value represents the same
     # map (max(m', 0*y + c') == max(m', c') either way).
-    mm, aa, cc = _tiled_scan(combine, (-1e30, 1.0, 0.0), (m, a, c),
-                             axis=axis)
+    if m.shape[axis] >= LANE_SCAN_MIN:
+        mm, aa, cc = _lane_scan(
+            combine, (-1e30, 1.0, 0.0),
+            tuple(jnp.moveaxis(x, axis, -1) for x in (m, a, c)))
+        mm, aa, cc = (jnp.moveaxis(x, -1, axis) for x in (mm, aa, cc))
+    else:
+        mm, aa, cc = _tiled_scan(combine, (-1e30, 1.0, 0.0), (m, a, c),
+                                 axis=axis)
     y0_arr = jnp.asarray(y0, m.dtype)
     return jnp.maximum(mm, aa * y0_arr + cc)
 
@@ -179,7 +249,10 @@ def matrix_affine_recurrence(A: jnp.ndarray, b: jnp.ndarray,
             for i in range(k))
         return aa + bb
 
-    out = _tiled_scan(combine, identity, a_leaves + b_leaves, axis=-1)
+    if a_leaves[0].shape[-1] >= LANE_SCAN_MIN:
+        out = _lane_scan(combine, identity, a_leaves + b_leaves)
+    else:
+        out = _tiled_scan(combine, identity, a_leaves + b_leaves, axis=-1)
     AA = out[: k * k]
     bb = out[k * k:]
     # y[t] = AA[t] @ y0 + bb[t], components over leading dims
