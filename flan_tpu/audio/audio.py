@@ -152,6 +152,13 @@ class Audio(AudioBuffer):
             "is commented out); the SQPV container is available as "
             "flan_tpu.sqpv.SQPV")
 
+    def convert_to_ms_SQPV(self, bandwidth=(16.0, 24000.0),
+                           bins_per_octave: float = 24.0):
+        """(reference Audio.h:202-205; dormant upstream like
+        convert_to_SQPV)."""
+        return self.convert_to_mid_side().convert_to_SQPV(
+            bandwidth, bins_per_octave)
+
     def convert_to_mid_side(self) -> "Audio":
         """L/R -> M/S with the reference's 1/sqrt(2) convention
         (reference AudioConversions.cpp:32-51)."""

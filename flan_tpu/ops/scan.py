@@ -105,7 +105,7 @@ def _tiled_scan(combine, identity, elems, axis: int = -1):
 # drops to ~2n; sequential depth is n/LANES steps of VPU-width ops (the
 # blocked parallel-scan design from SURVEY.md hard-part 2).
 LANE_SCAN_MIN = 65536
-LANES = 1024
+LANES = 8192
 
 
 def _lane_scan(combine, identity, leaves):
@@ -137,7 +137,9 @@ def _lane_scan(combine, identity, leaves):
         new = combine(carry, row)
         return new, new
 
-    _, locs = jax.lax.scan(body, init, rows)
+    # unroll: per-iteration loop overhead dominates these tiny vector rows
+    # on this backend, so merge many steps per loop trip
+    _, locs = jax.lax.scan(body, init, rows, unroll=16)
     locs = tuple(jnp.moveaxis(x, 0, -2) for x in locs)  # [..., seg, LANES]
 
     totals = tuple(x[..., -1, :] for x in locs)
