@@ -97,13 +97,14 @@ def _tiled_scan(combine, identity, elems, axis: int = -1):
     return jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, -1, axis), out)
 
 
-# Above this length, first-order recurrences switch from the log-depth
-# shift-combine scan (O(n log n) memory traffic) to the lane-parallel
-# two-pass scan: the time axis is folded onto LANES lanes, each lane scans
-# its contiguous segment sequentially with one cheap [LANES]-wide vector op
-# per step, and lane-boundary states are fixed up with one tiny scan. Work
-# drops to ~2n; sequential depth is n/LANES steps of VPU-width ops (the
-# blocked parallel-scan design from SURVEY.md hard-part 2).
+# The lane-parallel two-pass scan (below) folds time onto LANES contiguous
+# segments and scans sequentially with wide vector rows - ~2n work vs the
+# shift-combine form's ~n log(block). Measured on this backend it LOSES:
+# the required [.., LANES, seg] <-> [.., seg, LANES] transposes and scan
+# loop overhead cost more than the extra log-factor traffic (filter bench:
+# 18.8x realtime tiled vs 15x lanes vs 9.7x lanes+unroll). Kept available
+# behind USE_LANE_SCAN for other topologies.
+USE_LANE_SCAN = False
 LANE_SCAN_MIN = 65536
 LANES = 8192
 
@@ -137,9 +138,7 @@ def _lane_scan(combine, identity, leaves):
         new = combine(carry, row)
         return new, new
 
-    # unroll: per-iteration loop overhead dominates these tiny vector rows
-    # on this backend, so merge many steps per loop trip
-    _, locs = jax.lax.scan(body, init, rows, unroll=16)
+    _, locs = jax.lax.scan(body, init, rows)
     locs = tuple(jnp.moveaxis(x, 0, -2) for x in locs)  # [..., seg, LANES]
 
     totals = tuple(x[..., -1, :] for x in locs)
@@ -171,7 +170,7 @@ def linear_recurrence(a: jnp.ndarray, b: jnp.ndarray,
         return al * ar, bl * ar + br
 
     n = b.shape[axis]
-    if n >= LANE_SCAN_MIN:
+    if USE_LANE_SCAN and n >= LANE_SCAN_MIN:
         aa, bb = _lane_scan(combine, (1.0, 0.0),
                             (jnp.moveaxis(a, axis, -1),
                              jnp.moveaxis(b, axis, -1)))
@@ -203,7 +202,7 @@ def max_affine_recurrence(m: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
     # identity m must be finite: decay products underflow to exactly 0 and
     # 0 * -inf = NaN. A large negative finite value represents the same
     # map (max(m', 0*y + c') == max(m', c') either way).
-    if m.shape[axis] >= LANE_SCAN_MIN:
+    if USE_LANE_SCAN and m.shape[axis] >= LANE_SCAN_MIN:
         mm, aa, cc = _lane_scan(
             combine, (-1e30, 1.0, 0.0),
             tuple(jnp.moveaxis(x, axis, -1) for x in (m, a, c)))
@@ -251,7 +250,7 @@ def matrix_affine_recurrence(A: jnp.ndarray, b: jnp.ndarray,
             for i in range(k))
         return aa + bb
 
-    if a_leaves[0].shape[-1] >= LANE_SCAN_MIN:
+    if USE_LANE_SCAN and a_leaves[0].shape[-1] >= LANE_SCAN_MIN:
         out = _lane_scan(combine, identity, a_leaves + b_leaves)
     else:
         out = _tiled_scan(combine, identity, a_leaves + b_leaves, axis=-1)
