@@ -95,9 +95,8 @@ def pv_forward_sp(x: jnp.ndarray, mesh: Mesh, *, window_size: int = 2048,
         framed = jnp.take(span, jnp.clip(fidx, 0, span.shape[-1] - 1),
                           axis=-1)
         framed = jnp.where(valid[None], framed, 0.0) * window[None, None, :]
-        spec = jnp.fft.rfft(framed, n=dft_size, axis=-1)
-        mag = jnp.abs(spec).astype(jnp.float32)
-        phase = jnp.angle(spec).astype(jnp.float32)
+        from flan_tpu.ops.stft import rfft_mag_phase
+        mag, phase = rfft_mag_phase(framed, dft_size)
         prev = jnp.concatenate(
             [jnp.zeros((c, 1, nbins), jnp.float32), phase[:, :-1]], axis=1)
         hop_ids = idx * nh_local + jnp.arange(h_count) - 1
@@ -146,9 +145,9 @@ def pv_inverse_sp(mag: jnp.ndarray, freq: jnp.ndarray, mesh: Mesh, *,
         prefix = jnp.sum(jnp.where(ranks < idx, totals, 0.0), axis=0)
         cycles = jnp.mod(cycles + jnp.mod(prefix, 1.0)[:, None, :], 1.0)
 
-        spec = m * jnp.exp(
-            1j * (cycles * (2.0 * jnp.pi)).astype(jnp.complex64))
-        frames = jnp.fft.irfft(spec, n=dft_size, axis=-1)[..., :wpad]
+        from flan_tpu.ops.stft import irfft_polar
+        frames = irfft_polar(m, cycles * (2.0 * jnp.pi),
+                             dft_size)[..., :wpad]
         frames = frames * window[None, None, :]
         blocks = frames.reshape(c, f_local, r, hop)
         acc = jnp.zeros((c, f_local + r, hop), jnp.float32)

@@ -101,9 +101,8 @@ def _stretch_scan(x, time_map, *, window_size, hop, dft_size, sample_rate,
         frames = frames.reshape(c, H, wblocks * hop)[..., :window_size]
         frames = frames * window[None, None, :]
 
-        spec = jnp.fft.rfft(frames, n=dft_size, axis=-1)
-        mag = jnp.abs(spec).astype(jnp.float32)      # [C, H, B]
-        phase = jnp.angle(spec).astype(jnp.float32)
+        from flan_tpu.ops.stft import rfft_mag_phase
+        mag, phase = rfft_mag_phase(frames, dft_size)  # [C, H, B]
         prev = jnp.concatenate(
             [jnp.zeros((c, 1, nbins), jnp.float32), phase[:, :-1]], axis=1)
         # hops whose predecessor lies before the signal use the zero
@@ -128,14 +127,14 @@ def _stretch_scan(x, time_map, *, window_size, hop, dft_size, sample_rate,
         s_freq = jnp.where(valid_c[None, :, None] & (total > 0.0),
                            fsum / jnp.where(total > 0.0, total, 1.0), 0.0)
 
-        # ---- inverse PV (mod-1 cycle scan, carried) ----
+        # ---- inverse PV (mod-1 cycle accumulation, carried) ----
+        from flan_tpu.ops.stft import cumsum_mod1_frames
         inc = jnp.mod(s_freq / analysis_rate, 1.0)
-        cycles = jax.lax.associative_scan(
-            lambda a, b: jnp.mod(a + b, 1.0), inc, axis=1)
+        cycles = cumsum_mod1_frames(inc)
         cycles = jnp.mod(cycles + cycle0[:, None, :], 1.0)
-        spec_out = s_mag * jnp.exp(
-            1j * (cycles * (2.0 * jnp.pi)).astype(jnp.complex64))
-        out_frames_t = jnp.fft.irfft(spec_out, n=dft_size, axis=-1)[..., :wpad]
+        from flan_tpu.ops.stft import irfft_polar
+        out_frames_t = irfft_polar(
+            s_mag, cycles * (2.0 * jnp.pi), dft_size)[..., :wpad]
         out_frames_t = out_frames_t * inv_window[None, None, :]
 
         blocks = out_frames_t.reshape(c, chunk_out, r, hop)

@@ -168,10 +168,10 @@ def spv_inverse(mag: jnp.ndarray, freq: jnp.ndarray, sample_rate: float
                 ) -> jnp.ndarray:
     """(mag, freq) [C, F, B] -> audio [C, F]: accumulate phase, then the
     alternating-sign real-part sum (reference AudioSPV.cpp:113-145)."""
+    from flan_tpu.ops.stft import cumsum_mod1_frames
     c, f, b = mag.shape
     inc = jnp.mod(freq / sample_rate, 1.0)
-    cycles = jax.lax.associative_scan(
-        lambda x, y: jnp.mod(x + y, 1.0), inc, axis=1)
+    cycles = cumsum_mod1_frames(inc)
     phase = cycles * (2.0 * jnp.pi)
     real = mag * jnp.cos(phase)
     signs = jnp.where(jnp.arange(b) % 2 == 0, 1.0, -1.0)
