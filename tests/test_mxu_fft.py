@@ -1,0 +1,49 @@
+"""MXU matmul FFT and phase-accumulator numerics."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from flan_tpu.ops.mxu_fft import irfft_mxu, rfft_mxu
+from flan_tpu.ops.stft import cumsum_mod1_frames
+
+
+@pytest.mark.parametrize("n", [64, 256, 1024, 2048, 4096])
+def test_rfft_matches_numpy(n):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, n)).astype(np.float32)
+    re, im = rfft_mxu(jnp.asarray(x), n)
+    ref = np.fft.rfft(x, n=n, axis=-1)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(re), ref.real,
+                               atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(im), ref.imag,
+                               atol=2e-5 * scale)
+
+
+@pytest.mark.parametrize("n", [256, 4096])
+def test_irfft_matches_numpy(n):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    spec = np.fft.rfft(x, axis=-1)
+    y = irfft_mxu(jnp.asarray(spec.real.astype(np.float32)),
+                  jnp.asarray(spec.imag.astype(np.float32)), n)
+    np.testing.assert_allclose(np.asarray(y), x, atol=2e-5)
+
+
+def test_rfft_pads_short_input():
+    x = jnp.ones((1, 100), jnp.float32)
+    re, im = rfft_mxu(x, 256)
+    ref = np.fft.rfft(np.ones((1, 100)), n=256, axis=-1)
+    np.testing.assert_allclose(np.asarray(re), ref.real, atol=1e-4)
+
+
+def test_cumsum_mod1():
+    rng = np.random.default_rng(2)
+    x = rng.random((2, 1000, 5)).astype(np.float32)
+    y = np.asarray(cumsum_mod1_frames(jnp.asarray(x)))
+    ref = np.mod(np.cumsum(x.astype(np.float64), axis=1), 1.0)
+    d = np.abs(y - ref)
+    d = np.minimum(d, 1.0 - d)  # circular distance
+    assert d.max() < 5e-4
+    assert (y >= 0).all() and (y < 1).all()
