@@ -84,6 +84,14 @@ class Function:
         return Function(lambda t: -fn(t))
 
 
+def _binary(left: "Function", right, op) -> "Function":
+    """Compose two Functions (or a Function and a constant) pointwise."""
+    r = as_function(right)
+    if left.is_constant and r.is_constant:
+        return Function(float(op(left.constant_value, r.constant_value)))
+    return Function(lambda t: op(left(t), r(t)))
+
+
 class Function2d:
     """A constant or a callable over (time, frequency) pairs.
 
