@@ -143,6 +143,29 @@ def bench_convolve_texture():
     }
 
 
+def bench_spv():
+    """Streaming sliding-DFT phase vocoder round trip, 30 s mono 48 kHz.
+
+    The naive (materialized) form needs ~23 GB of complex intermediates at
+    this size; the chunked-scan form (flan_tpu/spv/spv.py) keeps transient
+    HBM at O(chunk x bins)."""
+    from flan_tpu import Audio
+    seconds = 30.0
+    x = _stereo_test_signal(seconds)[0:1]
+    a = Audio(data=x, sample_rate=48000.0)
+
+    def run():
+        spv = a.convert_to_SPV(512)
+        _sync(spv.convert_to_audio().data)
+
+    best = _best_time(run, reps=2)
+    return {
+        "metric": "spv_roundtrip_x_realtime_30s_mono_48k",
+        "value": round(seconds / best, 2),
+        "unit": "x_realtime",
+    }
+
+
 def bench_morph():
     """Config 5: spectral morph between two PVs with lambda controls."""
     from flan_tpu import Audio
@@ -182,7 +205,7 @@ def main():
         import os
         import subprocess
         for fn in ("bench_roundtrip", "bench_resample_filter",
-                   "bench_convolve_texture", "bench_morph"):
+                   "bench_convolve_texture", "bench_morph", "bench_spv"):
             try:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--one",

@@ -24,6 +24,40 @@ from flan_tpu.ops.scan import matrix_affine_recurrence
 from flan_tpu.core.types import decibel_to_amplitude
 
 
+# Constant-coefficient fast path: at or above this length, a filter whose
+# parameters are all constants is applied as an FFT convolution of its
+# truncated impulse response instead of a state scan (docs/STATUS.md
+# design (a); VERDICT.md round 1 item 2). Below it the scan is cheap anyway.
+_FIR_MIN_FRAMES = 16384
+
+
+def _is_constant(*params) -> bool:
+    for p in params:
+        if p is None:
+            continue
+        if not as_function(p).is_constant:
+            return False
+    return True
+
+
+def _fir_fastpath(self, run_direct):
+    """FIR-truncation application of a constant-parameter linear filter.
+
+    run_direct: Audio -> Audio, the filter's ordinary scan path. Returns
+    the convolved Audio, or None when the impulse response doesn't decay
+    within the signal length (then the scan path is no slower).
+    """
+    from flan_tpu.ops.fir import fir_apply, impulse_response
+    if self.num_frames < _FIR_MIN_FRAMES:
+        return None
+    h = impulse_response(
+        lambda data: run_direct(self._with(data=data)).data,
+        max_len=self.num_frames)
+    if h is None:
+        return None
+    return self._with(data=fir_apply(self.data, jnp.asarray(h)))
+
+
 def _sample_over_frames(self, f, clamp_cutoff=False):
     fn = as_function(f)
     n = self.num_frames
@@ -47,7 +81,12 @@ def _g_of(self, w):
 # ===========================================================================
 # 1-pole Butterworth cascades (reference AudioFilter.cpp:326-418)
 # ===========================================================================
-def _butterworth_1pole(self, order, cutoff, lowpass: bool):
+def _butterworth_1pole(self, order, cutoff, lowpass: bool, _direct=False):
+    if not _direct and _is_constant(cutoff):
+        out = _fir_fastpath(self, lambda a: _butterworth_1pole(
+            a, order, cutoff, lowpass, _direct=True))
+        if out is not None:
+            return out
     w = _sample_over_frames(self, cutoff, clamp_cutoff=True)
     g = _g_of(self, w)
     poles = butterworth_poles(order)
@@ -110,7 +149,12 @@ def filter_1pole_repeat_high(self, cutoff, repeats: int):
 # ===========================================================================
 # 1-pole Butterworth shelving (reference AudioFilter.cpp:430-521)
 # ===========================================================================
-def _butterworth_1pole_tilt(self, order, cutoff, gain_db):
+def _butterworth_1pole_tilt(self, order, cutoff, gain_db, _direct=False):
+    if not _direct and _is_constant(cutoff, gain_db):
+        out = _fir_fastpath(self, lambda a: _butterworth_1pole_tilt(
+            a, order, cutoff, gain_db, _direct=True))
+        if out is not None:
+            return out
     w0 = _sample_over_frames(self, cutoff, clamp_cutoff=True)
     gain = _sample_over_frames(self, gain_db)
     M = jnp.power(10.0, gain / (2 * order) / 20.0)
@@ -157,7 +201,13 @@ def filter_1pole_highshelf(self, cutoff, gain, order: int = 1):
 # 2-pole Butterworth cascades (reference AudioFilter.cpp:527-624)
 # ===========================================================================
 def _butterworth_2pole(self, order, cutoff, damping, sel: int,
-                       tilt_gain=None, tilt_mode=None):
+                       tilt_gain=None, tilt_mode=None, _direct=False):
+    if not _direct and _is_constant(cutoff, damping, tilt_gain):
+        out = _fir_fastpath(self, lambda a: _butterworth_2pole(
+            a, order, cutoff, damping, sel, tilt_gain, tilt_mode,
+            _direct=True))
+        if out is not None:
+            return out
     w = _sample_over_frames(self, cutoff, clamp_cutoff=True)
     R = _sample_over_frames(self, damping)
     poles = butterworth_poles(order)
@@ -298,10 +348,16 @@ def filter_2pole_highshelf(self, cutoff, damping, gain, order: int = 1):
 # ===========================================================================
 def filter_1pole_multinotch(self, order, cutoff, feedback=0.0,
                             invert: bool = False, wet_dry=0.5,
-                            use_saturator: bool = False):
+                            use_saturator: bool = False, _direct=False):
     from flan_tpu.audio.audio import Audio
     if self.is_null():
         return Audio.create_null()
+    if (not _direct and not use_saturator
+            and _is_constant(cutoff, feedback, wet_dry)):
+        out = _fir_fastpath(self, lambda a: filter_1pole_multinotch(
+            a, order, cutoff, feedback, invert, wet_dry, _direct=True))
+        if out is not None:
+            return out
     order = max(1, int(order))
     n = self.num_frames
     w = _sample_over_frames(self, cutoff, clamp_cutoff=True)
@@ -361,10 +417,17 @@ def filter_1pole_multinotch(self, order, cutoff, feedback=0.0,
 
 def filter_2pole_multinotch(self, order, cutoff, damping, feedback=0.0,
                             invert: bool = False, wet_dry=0.5,
-                            use_saturator: bool = False):
+                            use_saturator: bool = False, _direct=False):
     from flan_tpu.audio.audio import Audio
     if self.is_null():
         return Audio.create_null()
+    if (not _direct and not use_saturator
+            and _is_constant(cutoff, damping, feedback, wet_dry)):
+        out = _fir_fastpath(self, lambda a: filter_2pole_multinotch(
+            a, order, cutoff, damping, feedback, invert, wet_dry,
+            _direct=True))
+        if out is not None:
+            return out
     order = max(1, int(order))
     w = _sample_over_frames(self, cutoff, clamp_cutoff=True)
     k = _sample_over_frames(self, feedback)
@@ -578,6 +641,16 @@ def _hilbert_pair(self):
     T_half = math.pi / self.sample_rate
     gs_a = [p * T_half for p in poles_a]
     gs_b = [p * T_half for p in poles_b]
+    if self.num_frames >= _FIR_MIN_FRAMES:
+        # the 2x20-pole allpass cascades have fixed coefficients, so both
+        # run as truncated-FIR convolutions (see _fir_fastpath)
+        from flan_tpu.ops.fir import fir_apply, impulse_response
+        hs = [impulse_response(lambda d, gs=gs: allpass_1pole_chain(d, gs),
+                               max_len=self.num_frames)
+              for gs in (gs_a, gs_b)]
+        if all(h is not None for h in hs):
+            return (fir_apply(self.data, jnp.asarray(hs[0])),
+                    fir_apply(self.data, jnp.asarray(hs[1])))
     re = allpass_1pole_chain(self.data, gs_a)
     im = allpass_1pole_chain(self.data, gs_b)
     return re, im
@@ -618,19 +691,28 @@ def shift_frequency(self, shift, low_cutoff: float = 30.0):
     if self.is_null():
         return Audio.create_null()
     high_cutoff = self.sample_rate / 2.0 - 1000.0
-    s = _sample_over_frames(self, shift)
+    shift_fn = as_function(shift)
+    s = _sample_over_frames(self, shift_fn)
 
-    lp_cut = jnp.where(s > 0, high_cutoff - s, high_cutoff)
-    hp_cut = jnp.where(s < 0, low_cutoff - s, low_cutoff)
-    sn = np.asarray(s)
-    antialiased = filter_1pole_lowpass(
-        self, lambda t: jnp.asarray(lp_cut)[jnp.clip(
-            (t * self.sample_rate).astype(jnp.int32), 0,
-            self.num_frames - 1)], 8)
-    antialiased = filter_1pole_highpass(
-        antialiased, lambda t: jnp.asarray(hp_cut)[jnp.clip(
-            (t * self.sample_rate).astype(jnp.int32), 0,
-            self.num_frames - 1)], 8)
+    if shift_fn.is_constant:
+        # constant shift -> constant antialias cutoffs, which lets the
+        # 8-pole cascades take the FIR-convolution fast path
+        sc = float(shift_fn.constant_value)
+        lp_c = high_cutoff - sc if sc > 0 else high_cutoff
+        hp_c = low_cutoff - sc if sc < 0 else low_cutoff
+        antialiased = filter_1pole_highpass(
+            filter_1pole_lowpass(self, lp_c, 8), hp_c, 8)
+    else:
+        lp_cut = jnp.where(s > 0, high_cutoff - s, high_cutoff)
+        hp_cut = jnp.where(s < 0, low_cutoff - s, low_cutoff)
+        antialiased = filter_1pole_lowpass(
+            self, lambda t: jnp.asarray(lp_cut)[jnp.clip(
+                (t * self.sample_rate).astype(jnp.int32), 0,
+                self.num_frames - 1)], 8)
+        antialiased = filter_1pole_highpass(
+            antialiased, lambda t: jnp.asarray(hp_cut)[jnp.clip(
+                (t * self.sample_rate).astype(jnp.int32), 0,
+                self.num_frames - 1)], 8)
 
     # exclusive mod-1 cycle accumulation (float32-safe for long audio)
     cycles = jnp.mod(s / self.sample_rate, 1.0)

@@ -40,8 +40,10 @@ def _unpack_i24(raw: np.ndarray) -> np.ndarray:
 def write_flan(path: str, mag: np.ndarray, freq: np.ndarray,
                sample_rate: float, hop_size: int, window_size: int) -> None:
     """Save [channels, frames, bins] mag/freq arrays as a .flan file."""
-    mag = np.asarray(mag, dtype=np.float64)
-    freq = np.asarray(freq, dtype=np.float64)
+    # pre-cast to float32 exactly like the native path (flan_native.cpp
+    # pack_mf24 takes f32) so fallback and native files are byte-identical
+    mag = np.asarray(mag, dtype=np.float32).astype(np.float64)
+    freq = np.asarray(freq, dtype=np.float32).astype(np.float64)
     num_channels, num_frames, num_bins = mag.shape
     dft_size = 2 * (num_bins - 1)
 

@@ -103,7 +103,10 @@ def _encode_samples(data: np.ndarray, fmt_tag: int, bits: int) -> bytes:
         out[:, 2] = (flat >> 16) & 0xFF
         return out.tobytes()
     if bits == 32:
-        q = np.round(clipped * float((1 << 31) - 1)).astype("<i4")
+        # scale by 2^31 with clamp, matching flan_native.cpp so both
+        # encoder paths produce byte-identical files
+        q = np.clip(np.round(clipped * float(1 << 31)), -(2.0 ** 31),
+                    (1 << 31) - 1).astype("<i4")
         return q.tobytes()
     raise ValueError(f"Unsupported write bit depth: {bits}")
 

@@ -26,6 +26,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# TPU matmuls at DEFAULT precision truncate f32 operands to bfloat16
+# (~8 mantissa bits), which would degrade FFT output to ~40 dB SNR on real
+# hardware (fine on CPU where DEFAULT is full f32 - which is why tests
+# alone never caught it). HIGHEST keeps full f32 operand precision on the
+# MXU via the 6-pass decomposition.
+_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _split(n: int):
     """Factor n = a*b with a, b near sqrt(n) (both powers of two)."""
@@ -61,21 +68,27 @@ def _fft_full_real_input(x: jnp.ndarray, n: int):
     xs = x.reshape(x.shape[:-1] + (a, b))           # [..., n1, n2]
     # stage 1 over n1: A[n2, k1]
     s1r = jnp.einsum("...nm,nk->...mk", xs, ar,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=_PRECISION)
     s1i = jnp.einsum("...nm,nk->...mk", xs, ai,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=_PRECISION)
     # twiddle [n2, k1]
     t_r = s1r * twr - s1i * twi
     t_i = s1r * twi + s1i * twr
     # stage 2 over n2: X[k1, k2]
     xr = (jnp.einsum("...mk,ml->...kl", t_r, br,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=_PRECISION)
           - jnp.einsum("...mk,ml->...kl", t_i, bi,
-                       preferred_element_type=jnp.float32))
+                       preferred_element_type=jnp.float32,
+                     precision=_PRECISION))
     xi = (jnp.einsum("...mk,ml->...kl", t_r, bi,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=_PRECISION)
           + jnp.einsum("...mk,ml->...kl", t_i, br,
-                       preferred_element_type=jnp.float32))
+                       preferred_element_type=jnp.float32,
+                     precision=_PRECISION))
     # output index k = k1 + a*k2 -> [..., k2, k1] reshape gives k-major
     xr = jnp.swapaxes(xr, -1, -2).reshape(x.shape[:-1] + (n,))
     xi = jnp.swapaxes(xi, -1, -2).reshape(x.shape[:-1] + (n,))

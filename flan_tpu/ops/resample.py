@@ -66,10 +66,13 @@ def _rational_resample_jit(x, L: int, M: int, num_out: int,
     # Center the filter: output n taps upsampled position n*M; with SAME-
     # style padding of (k-1)/2 the filter is centered on the read position.
     pad = (k - 1) // 2
+    # HIGHEST: DEFAULT TPU conv precision truncates f32 operands to bf16
+    # (~40 dB SNR), defeating the 140 dB filter design; see ops/mxu_fft.py.
     y = jax.lax.conv_general_dilated(
         x[:, None, :], h[None, None, ::-1],
         window_strides=(M,), padding=[(pad, pad)], lhs_dilation=(L,),
-        dimension_numbers=("NCH", "OIH", "NCH"))
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)
     return y[:, 0, :num_out]
 
 
@@ -121,7 +124,8 @@ def fractional_gather(x: jnp.ndarray, positions: jnp.ndarray,
          + 0.14128 * jnp.cos(2 * jnp.pi * u)
          + 0.01168 * jnp.cos(3 * jnp.pi * u))
     taps = sinc * w
-    return jnp.einsum("cok,ok->co", samples, taps)
+    return jnp.einsum("cok,ok->co", samples, taps,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def variable_rate_positions(rate_per_block: np.ndarray,

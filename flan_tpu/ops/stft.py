@@ -41,8 +41,14 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def num_hops(num_frames: int, hop: int) -> int:
-    """PV frame count: ceil(N / hop) + 1 (reference AudioPV.cpp:17)."""
-    return _cdiv(num_frames, hop) + 1
+    """PV frame count: N // hop + 1 (reference AudioPV.cpp:17).
+
+    The reference writes `std::ceil(get_num_frames() / hopSize) + 1`, but
+    both operands are int32 `Frame`s, so the division floors before ceil
+    sees it - the quirk is preserved here so .flan frame counts and
+    round-trip lengths match byte-for-byte.
+    """
+    return num_frames // hop + 1
 
 
 def _frame_signal(x: jnp.ndarray, start_hop, chunk_hops: int, hop: int,
@@ -117,8 +123,11 @@ def cumsum_mod1_frames(inc: jnp.ndarray) -> jnp.ndarray:
     x = inc.reshape(c, nb, blk, b)
     tri = jnp.asarray(
         np.tril(np.ones((blk, blk), np.float32)))       # [g, f], f <= g
+    # HIGHEST: DEFAULT TPU matmul precision would truncate the f32 cycle
+    # increments to bf16 (~1e-3 cycle phase error); see ops/mxu_fft.py.
     within = jnp.einsum("gf,cnfb->cngb", tri, x,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
     totals = jnp.mod(within[:, :, -1, :], 1.0)           # [C, nb, B]
     # exclusive cross-block mod-1 prefix (nb is small)
     prefix = jax.lax.associative_scan(

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from flan_tpu.ops.stft import _cdiv, _wrap_radians, num_hops
+from flan_tpu.ops.stft import (_cdiv, _wrap_radians, cumsum_mod1_frames,
+                               num_hops)
 from flan_tpu.ops.windows import hann_window
 
 from jax import shard_map
@@ -136,8 +137,11 @@ def pv_inverse_sp(mag: jnp.ndarray, freq: jnp.ndarray, mesh: Mesh, *,
     def kernel(m, fr):
         idx = jax.lax.axis_index(axis)
         inc = jnp.mod(fr / analysis_rate, 1.0)
-        cycles = jax.lax.associative_scan(
-            lambda a, b: jnp.mod(a + b, 1.0), inc, axis=1)
+        # tiled MXU prefix, not associative_scan: the log-depth scan over a
+        # long frame axis is the exact pattern ops/scan.py documents as
+        # unlowerable/slow on this TPU backend (it was only ever exercised
+        # on virtual CPU meshes before)
+        cycles = cumsum_mod1_frames(inc)
         # cross-device prefix: all-gather per-device totals (tiny), add
         # the exclusive mod-1 prefix of predecessors
         totals = jax.lax.all_gather(cycles[:, -1, :], axis)  # [D, C, B]
@@ -174,3 +178,173 @@ def pv_inverse_sp(mag: jnp.ndarray, freq: jnp.ndarray, mesh: Mesh, *,
         [audio, last_tail.reshape(c, r * hop)], axis=-1)
     shift = window_size // 2
     return stream[:, shift:shift + f * hop]
+
+
+def stretch_sp(x: jnp.ndarray, mesh: Mesh, *, factor, window_size: int = 2048,
+               hop: int = 128, dft_size: int = 4096,
+               sample_rate: float = 48000.0, axis: str = "sp"):
+    """Sequence-parallel PV time-stretch: audio [C, N] -> audio, end to end.
+
+    The flagship pipeline sharded over a mesh (VERDICT.md round 1, item 3).
+    Work is sharded by OUTPUT hops: each device owns a contiguous span of
+    stretched frames and, because the time map is monotonic, needs only a
+    contiguous, host-precomputed range of input hops. Rather than resharding
+    the 2x-overlap-factor-heavy PV tensors between devices, each device
+    re-derives its own input PV frames from raw audio (one cheap all_gather:
+    audio is window/hop * 2 = 32x smaller than PV data at default params,
+    and halo hops are recomputed redundantly - compute is cheaper than the
+    sparse all_to_all it replaces). Cross-device sequential state:
+
+    * inverse phase accumulation: local mod-1 cycle prefix via the tiled
+      MXU cumsum, then one all_gather of per-device totals;
+    * overlap-add tail: ppermute to the right neighbor, as pv_inverse_sp.
+
+    Matches Audio.convert_to_PV >> stretch >> convert_to_audio for monotonic
+    maps (asserted in __graft_entry__.dryrun_multichip and
+    tests/test_multichip.py).
+    """
+    from flan_tpu.func.function import as_function
+
+    c, n = x.shape
+    d = mesh.shape[axis]
+    nh = num_hops(n, hop)
+    analysis_rate = sample_rate / hop
+    nbins = dft_size // 2 + 1
+
+    # ---- host: sample the factor, build the monotone time map ----
+    fn = as_function(factor)
+    if fn.is_constant:
+        factors = np.full(nh, float(fn.constant_value), np.float64)
+    else:
+        t = np.arange(nh, dtype=np.float64) * (hop / sample_rate)
+        factors = np.asarray(fn(jnp.asarray(t, jnp.float32)),
+                             np.float64).reshape(-1)
+        factors = np.broadcast_to(factors, (nh,))
+    if (factors <= 0).any():
+        raise ValueError("stretch_sp requires positive factors")
+    time_map = np.cumsum(factors)
+    out_frames = int(math.ceil(time_map.max()))
+    oh_local = _cdiv(out_frames, d)
+    fpad = oh_local * d
+
+    wpad = _cdiv(window_size, hop) * hop
+    r = wpad // hop
+    if oh_local < r:
+        raise ValueError(
+            "output shard shorter than the overlap-add tail; use fewer "
+            "devices or longer audio")
+
+    # ---- host: per-output-frame gather plan (monotone map inverts to a
+    #      searchsorted gather; ops/pv_modify.py) ----
+    xs = np.arange(fpad, dtype=np.float64)
+    raw_idx = np.searchsorted(time_map, xs, side="right")
+    valid = (raw_idx >= 1) & (raw_idx <= nh - 1) & (xs < out_frames)
+    idx = np.clip(raw_idx, 1, nh - 1)
+    l = time_map[idx - 1]
+    rr = time_map[idx]
+    mix = np.clip((xs - l) / np.where(rr == l, 1.0, rr - l), 0.0, 1.0)
+
+    idx_s = idx.reshape(d, oh_local)
+    lo = idx_s.min(axis=1) - 1                     # first needed input hop
+    hi = idx_s.max(axis=1)                          # last needed input hop
+    h_count = int((hi - lo).max()) + 2              # +1 pair, +1 helper hop
+    li = (idx_s - 1 - lo[:, None]).astype(np.int32)  # local pair-low index
+
+    # ---- device operands ----
+    window = hann_window(window_size)
+    bin_freq = (jnp.arange(nbins, dtype=jnp.float32)
+                * (sample_rate / dft_size))
+    expected = bin_freq / analysis_rate * (2.0 * jnp.pi)
+    inv_scale = 2.67 / (dft_size * window_size / hop) * dft_size
+    inv_window = jnp.zeros((wpad,), jnp.float32).at[:window_size].set(
+        hann_window(window_size) * inv_scale)
+
+    n_local = _cdiv(n, d)
+    xp_in = jnp.pad(x, [(0, 0), (0, n_local * d - n)])
+    left_pad = wpad + hop
+    span_len = (h_count + r + 1) * hop
+    H = h_count
+
+    lo_dev = jnp.asarray(lo, jnp.int32)                      # [d]
+    li_dev = jnp.asarray(li.reshape(fpad), jnp.int32)        # [fpad]
+    mix_dev = jnp.asarray(mix, jnp.float32)                  # [fpad]
+    valid_dev = jnp.asarray(valid)                           # [fpad]
+
+    def kernel(x_local, lo_c, li_c, mix_c, valid_c):
+        # ---- gather the full (small) audio once; pad for clean slices ----
+        full = jax.lax.all_gather(x_local, axis, axis=1, tiled=True)
+        xf = jnp.pad(full[:, :],
+                     [(0, 0), (left_pad, span_len + left_pad)])
+        # zero anything past the true signal end (the d-multiple padding)
+        # is already zero from the host-side pad.
+        s0 = (lo_c[0] - 1) * hop - window_size // 2 + left_pad
+        span = jax.lax.dynamic_slice(xf, (0, s0), (c, span_len))
+
+        # ---- forward PV on the local input-hop range ----
+        rows = span.reshape(c, span_len // hop, hop)
+        frames = jnp.stack(
+            [rows[:, jj:jj + H, :] for jj in range(r)], axis=2)
+        frames = frames.reshape(c, H, r * hop)[..., :window_size]
+        # mask samples outside the true signal (mirrors pv_forward's
+        # zero-padding; the left_pad region is already zero)
+        starts = (lo_c[0] - 1 + jnp.arange(H)) * hop - window_size // 2
+        gidx = starts[:, None] + jnp.arange(window_size)[None, :]
+        frames = jnp.where(((gidx >= 0) & (gidx < n))[None], frames, 0.0)
+        frames = frames * window[None, None, :]
+
+        from flan_tpu.ops.stft import irfft_polar, rfft_mag_phase
+        mag, phase = rfft_mag_phase(frames, dft_size)        # [C, H, B]
+        prev = jnp.concatenate(
+            [jnp.zeros((c, 1, nbins), jnp.float32), phase[:, :-1]], axis=1)
+        hop_ids = lo_c[0] - 1 + jnp.arange(H)
+        prev = jnp.where((hop_ids[None, :, None] - 1) < 0, 0.0, prev)
+        delta = _wrap_radians(phase - prev - expected[None, None, :])
+        freq = bin_freq[None, None, :] + delta * (analysis_rate
+                                                  / (2.0 * jnp.pi))
+        mag = mag[:, 1:]          # drop the prev-phase helper hop
+        freq = freq[:, 1:]
+
+        # ---- local stretch gather (WFS policy, PVModify.cpp:344-355) ----
+        w0 = (1.0 - mix_c)[None, :, None] * mag[:, li_c]
+        w1 = mix_c[None, :, None] * mag[:, li_c + 1]
+        total = w0 + w1
+        fsum = w0 * freq[:, li_c] + w1 * freq[:, li_c + 1]
+        v = valid_c[None, :, None]
+        s_mag = jnp.where(v, total, 0.0)
+        s_freq = jnp.where(v & (total > 0.0),
+                           fsum / jnp.where(total > 0.0, total, 1.0), 0.0)
+
+        # ---- inverse PV with cross-device phase prefix + OLA handoff ----
+        idx_dev = jax.lax.axis_index(axis)
+        inc = jnp.mod(s_freq / analysis_rate, 1.0)
+        cycles = cumsum_mod1_frames(inc)
+        totals = jax.lax.all_gather(cycles[:, -1, :], axis)   # [D, C, B]
+        ranks = jnp.arange(d)[:, None, None]
+        prefix = jnp.sum(jnp.where(ranks < idx_dev, totals, 0.0), axis=0)
+        cycles = jnp.mod(cycles + jnp.mod(prefix, 1.0)[:, None, :], 1.0)
+
+        out_t = irfft_polar(s_mag, cycles * (2.0 * jnp.pi),
+                            dft_size)[..., :wpad]
+        out_t = out_t * inv_window[None, None, :]
+        blocks = out_t.reshape(c, oh_local, r, hop)
+        acc = jnp.zeros((c, oh_local + r, hop), jnp.float32)
+        for j in range(r):
+            acc = acc.at[:, j:j + oh_local, :].add(blocks[:, :, j, :])
+        tail = acc[:, oh_local:, :]
+        shifted = jax.lax.ppermute(
+            tail, axis, [(i, (i + 1) % d) for i in range(d)])
+        shifted = jnp.where(idx_dev == 0, 0.0, shifted)
+        acc = acc.at[:, :r, :].add(shifted)
+        last_tail = jax.lax.psum(
+            jnp.where(idx_dev == d - 1, tail, 0.0), axis)
+        return (acc[:, :oh_local, :].reshape(c, oh_local * hop), last_tail)
+
+    fn_sharded = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(None, axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(None, axis), P(None, None, None)))
+    audio, last_tail = fn_sharded(xp_in, lo_dev, li_dev, mix_dev, valid_dev)
+    stream = jnp.concatenate(
+        [audio, last_tail.reshape(c, r * hop)], axis=-1)
+    shift = window_size // 2
+    return stream[:, shift:shift + out_frames * hop]

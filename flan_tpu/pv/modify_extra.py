@@ -214,8 +214,11 @@ def stretch_spline(self, expansion):
 
     W = _natural_spline_matrix(xs, np.arange(f_out, dtype=np.float64))
     Wj = jnp.asarray(W, jnp.float32)                       # [F_out, F]
-    out_mag = jnp.einsum("tf,cfb->ctb", Wj, self.mag)
-    out_freq = jnp.einsum("tf,cfb->ctb", Wj, self.freq)
+    # HIGHEST: avoid bf16 operand truncation on TPU (see ops/mxu_fft.py)
+    out_mag = jnp.einsum("tf,cfb->ctb", Wj, self.mag,
+                         precision=jax.lax.Precision.HIGHEST)
+    out_freq = jnp.einsum("tf,cfb->ctb", Wj, self.freq,
+                          precision=jax.lax.Precision.HIGHEST)
     return self._with(mag=out_mag, freq=out_freq)
 
 

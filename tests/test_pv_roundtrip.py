@@ -25,7 +25,8 @@ def test_pv_format():
     a = sine_audio()
     pv = a.convert_to_PV(WINDOW, HOP, DFT)
     assert pv.num_bins == DFT // 2 + 1
-    assert pv.num_frames == -(-a.num_frames // HOP) + 1
+    # reference AudioPV.cpp:17: integer division, so floor + 1
+    assert pv.num_frames == a.num_frames // HOP + 1
     assert pv.analysis_rate == pytest.approx(SR / HOP)
 
 
