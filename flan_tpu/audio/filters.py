@@ -40,19 +40,25 @@ def _is_constant(*params) -> bool:
     return True
 
 
-def _fir_fastpath(self, run_direct):
+def _const_val(p):
+    """Constant value of a parameter already known to be constant."""
+    return None if p is None else float(as_function(p).constant_value)
+
+
+def _fir_fastpath(self, run_direct, cache_key=None):
     """FIR-truncation application of a constant-parameter linear filter.
 
     run_direct: Audio -> Audio, the filter's ordinary scan path. Returns
     the convolved Audio, or None when the impulse response doesn't decay
-    within the signal length (then the scan path is no slower).
+    within the signal length (then the scan path is no slower). cache_key
+    memoizes the truncated response across calls (ops/fir.py).
     """
     from flan_tpu.ops.fir import fir_apply, impulse_response
     if self.num_frames < _FIR_MIN_FRAMES:
         return None
     h = impulse_response(
         lambda data: run_direct(self._with(data=data)).data,
-        max_len=self.num_frames)
+        max_len=self.num_frames, cache_key=cache_key)
     if h is None:
         return None
     return self._with(data=fir_apply(self.data, jnp.asarray(h)))
@@ -83,8 +89,9 @@ def _g_of(self, w):
 # ===========================================================================
 def _butterworth_1pole(self, order, cutoff, lowpass: bool, _direct=False):
     if not _direct and _is_constant(cutoff):
+        key = ("bw1", order, _const_val(cutoff), lowpass, self.sample_rate)
         out = _fir_fastpath(self, lambda a: _butterworth_1pole(
-            a, order, cutoff, lowpass, _direct=True))
+            a, order, cutoff, lowpass, _direct=True), cache_key=key)
         if out is not None:
             return out
     w = _sample_over_frames(self, cutoff, clamp_cutoff=True)
@@ -151,8 +158,10 @@ def filter_1pole_repeat_high(self, cutoff, repeats: int):
 # ===========================================================================
 def _butterworth_1pole_tilt(self, order, cutoff, gain_db, _direct=False):
     if not _direct and _is_constant(cutoff, gain_db):
+        key = ("bw1t", order, _const_val(cutoff), _const_val(gain_db),
+               self.sample_rate)
         out = _fir_fastpath(self, lambda a: _butterworth_1pole_tilt(
-            a, order, cutoff, gain_db, _direct=True))
+            a, order, cutoff, gain_db, _direct=True), cache_key=key)
         if out is not None:
             return out
     w0 = _sample_over_frames(self, cutoff, clamp_cutoff=True)
@@ -203,9 +212,11 @@ def filter_1pole_highshelf(self, cutoff, gain, order: int = 1):
 def _butterworth_2pole(self, order, cutoff, damping, sel: int,
                        tilt_gain=None, tilt_mode=None, _direct=False):
     if not _direct and _is_constant(cutoff, damping, tilt_gain):
+        key = ("bw2", order, _const_val(cutoff), _const_val(damping), sel,
+               _const_val(tilt_gain), tilt_mode, self.sample_rate)
         out = _fir_fastpath(self, lambda a: _butterworth_2pole(
             a, order, cutoff, damping, sel, tilt_gain, tilt_mode,
-            _direct=True))
+            _direct=True), cache_key=key)
         if out is not None:
             return out
     w = _sample_over_frames(self, cutoff, clamp_cutoff=True)
@@ -354,8 +365,11 @@ def filter_1pole_multinotch(self, order, cutoff, feedback=0.0,
         return Audio.create_null()
     if (not _direct and not use_saturator
             and _is_constant(cutoff, feedback, wet_dry)):
+        key = ("mn1", order, _const_val(cutoff), _const_val(feedback),
+               invert, _const_val(wet_dry), self.sample_rate)
         out = _fir_fastpath(self, lambda a: filter_1pole_multinotch(
-            a, order, cutoff, feedback, invert, wet_dry, _direct=True))
+            a, order, cutoff, feedback, invert, wet_dry, _direct=True),
+            cache_key=key)
         if out is not None:
             return out
     order = max(1, int(order))
@@ -423,9 +437,12 @@ def filter_2pole_multinotch(self, order, cutoff, damping, feedback=0.0,
         return Audio.create_null()
     if (not _direct and not use_saturator
             and _is_constant(cutoff, damping, feedback, wet_dry)):
+        key = ("mn2", order, _const_val(cutoff), _const_val(damping),
+               _const_val(feedback), invert, _const_val(wet_dry),
+               self.sample_rate)
         out = _fir_fastpath(self, lambda a: filter_2pole_multinotch(
             a, order, cutoff, damping, feedback, invert, wet_dry,
-            _direct=True))
+            _direct=True), cache_key=key)
         if out is not None:
             return out
     order = max(1, int(order))
@@ -646,8 +663,9 @@ def _hilbert_pair(self):
         # run as truncated-FIR convolutions (see _fir_fastpath)
         from flan_tpu.ops.fir import fir_apply, impulse_response
         hs = [impulse_response(lambda d, gs=gs: allpass_1pole_chain(d, gs),
-                               max_len=self.num_frames)
-              for gs in (gs_a, gs_b)]
+                               max_len=self.num_frames,
+                               cache_key=("hilbert", side, self.sample_rate))
+              for side, gs in enumerate((gs_a, gs_b))]
         if all(h is not None for h in hs):
             return (fir_apply(self.data, jnp.asarray(hs[0])),
                     fir_apply(self.data, jnp.asarray(hs[1])))

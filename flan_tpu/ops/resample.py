@@ -56,24 +56,70 @@ def _rational_filter(L: int, M: int, taps_per_phase: int,
     return h.astype(np.float32)
 
 
+@functools.cache
+def _polyphase_matrix(L: int, M: int, taps_per_phase: int, atten_db: float):
+    """Dense per-block weight matrix for L/M polyphase resampling.
+
+    Output sample n reads upsampled position e = n*M + c (c centers the
+    filter); only taps s with (e - s) % L == 0 touch real input, giving
+    y[n] = sum_j h[ph_p + L*j] * x[e//L - j] with p = n % L. Folding the
+    phase structure into one [L, window] matrix turns each L-output block
+    into a single MXU matmul - XLA's dilated-conv lowering of the same
+    filter runs ~3 orders of magnitude more MACs (it multiplies every
+    output by all L*taps dense taps, zeros included).
+
+    Returns (mat [L, win], off) with y[bL + p] = sum_w mat[p, w] *
+    x[b*M + off + w].
+    """
+    h = _rational_filter(L, M, taps_per_phase, atten_db).astype(np.float64)
+    k = h.shape[0]
+    kk = -(-k // L)                                 # taps per phase
+    hp = np.zeros((kk * L,), np.float64)
+    hp[:k] = h
+    c = k - 1 - (k - 1) // 2                        # center (matches conv)
+    p = np.arange(L)
+    e = p * M + c
+    ph = e % L                                      # starting tap phase
+    d = e // L                                      # input index offset
+    j = np.arange(kk)
+    xi = d[:, None] - j[None, :]                    # [L, kk] input offsets
+    off = int(xi.min())
+    win = int(xi.max()) - off + 1
+    mat = np.zeros((L, win), np.float64)
+    taps = hp[(ph[:, None] + L * j[None, :]).reshape(-1)].reshape(L, kk)
+    np.add.at(mat, (np.repeat(p, kk), (xi - off).reshape(-1)),
+              taps.reshape(-1))
+    return mat.astype(np.float32), off
+
+
 @functools.partial(jax.jit, static_argnames=("L", "M", "num_out",
                                              "taps_per_phase", "atten_db"))
 def _rational_resample_jit(x, L: int, M: int, num_out: int,
                            taps_per_phase: int, atten_db: float):
-    h = jnp.asarray(_rational_filter(L, M, taps_per_phase, atten_db))
-    k = h.shape[0]
-    # conv with input dilation L, stride M == polyphase rational resampling.
-    # Center the filter: output n taps upsampled position n*M; with SAME-
-    # style padding of (k-1)/2 the filter is centered on the read position.
-    pad = (k - 1) // 2
-    # HIGHEST: DEFAULT TPU conv precision truncates f32 operands to bf16
+    mat_np, off = _polyphase_matrix(L, M, taps_per_phase, atten_db)
+    mat = jnp.asarray(mat_np)
+    win = mat_np.shape[1]
+    c_cnt, n = x.shape
+    nb = -(-num_out // L)
+    # block b covers input [b*M + off, b*M + off + win); pad so every
+    # block is in range, then build windows from M-strided rows plus the
+    # overlapping heads of following rows (static slices, no gather)
+    left = max(0, -off)
+    nrows_extra = -(-win // M) + 1
+    total = (nb + nrows_extra) * M
+    xp = jnp.pad(x, [(0, 0), (left, max(0, total - n - left))])
+    if off + left > 0:
+        xp = xp[:, off + left:]
+        xp = jnp.pad(xp, [(0, 0), (0, off + left)])
+    rows = xp[:, :(nb + nrows_extra) * M].reshape(c_cnt, nb + nrows_extra, M)
+    parts = [rows[:, i:i + nb, :] for i in range(nrows_extra)]
+    window = jnp.concatenate(parts, axis=-1)[..., :win]   # [C, nb, win]
+    # HIGHEST: DEFAULT TPU matmul precision truncates f32 operands to bf16
     # (~40 dB SNR), defeating the 140 dB filter design; see ops/mxu_fft.py.
-    y = jax.lax.conv_general_dilated(
-        x[:, None, :], h[None, None, ::-1],
-        window_strides=(M,), padding=[(pad, pad)], lhs_dilation=(L,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST)
-    return y[:, 0, :num_out]
+    y = jnp.einsum("cbw,pw->cbp", window, mat,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return y.reshape(c_cnt, nb * L)[:, :num_out]
 
 
 def resample(x: jnp.ndarray, sr_in: float, sr_out: float,

@@ -103,17 +103,26 @@ def get_salience(self, channel: int, min_frequency: float = 55.0,
     g = 0.5 * (1.0 + jnp.cos(
         jnp.abs(offs) / bin_effect_dist * jnp.pi / 2.0))   # [21]
 
-    target = b_c[..., None] + offs[None, None, None, :]    # [F, K, Nh, 21]
-    contrib = (g[None, None, None, :] * alpha_pow[None, None, :, None]
-               * i_m[..., None, None])
-    valid = (b_c[..., None] >= 0) & (target >= 0) & (target < sal_bins) \
-        & (i_f[..., None, None] > 0)
-    frame_ix = jnp.broadcast_to(
-        jnp.arange(f_cnt)[:, None, None, None], target.shape)
-    sal = jnp.zeros((f_cnt, sal_bins), jnp.float32)
-    sal = sal.at[frame_ix.reshape(-1),
-                 jnp.clip(target, 0, sal_bins - 1).reshape(-1)].add(
-        jnp.where(valid, contrib, 0.0).reshape(-1))
+    # The +-10-bin cosine spread factors out of the scatter: accumulate
+    # only the center-bin weights into a (bin-extended) per-frame
+    # histogram, then convolve along bins with the 21-tap spread kernel.
+    # The naive [F, K, Nh, 21] scatter materializes index tensors whose
+    # tiny trailing dims tile-pad to ~17 GB on TPU at 60 s (OOM).
+    width = sal_bins + 2 * bin_effect_dist
+    contrib = alpha_pow[None, None, :] * i_m[..., None]    # [F, K, Nh]
+    valid = (b_c >= 0) & (b_c < width - bin_effect_dist) \
+        & (i_f[..., None] > 0)
+    frame_ix = jnp.broadcast_to(jnp.arange(f_cnt)[:, None, None],
+                                b_c.shape)
+    flat = (frame_ix * width
+            + jnp.clip(b_c, 0, width - 1) + bin_effect_dist)
+    hist = jnp.zeros((f_cnt * width,), jnp.float32).at[
+        flat.reshape(-1)].add(jnp.where(valid, contrib, 0.0).reshape(-1))
+    hist = hist.reshape(f_cnt, 1, width)
+    sal = jax.lax.conv_general_dilated(
+        hist, g[None, None, :], window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)[:, 0, :]
     peak = jnp.max(sal)
     sal = sal / jnp.where(peak > 0, peak, 1.0)
     return Salience(num_frames=f_cnt, num_bins=sal_bins,
@@ -227,7 +236,209 @@ def prism(self, prism_func, use_local_contour_time: bool = True):
     """Per-contour per-harmonic magnitude/frequency rewriting
     (reference PVInformation.cpp:265-421). prism_func(note_index, time,
     harmonic, base_freq, harmonic_mags) -> (mag, freq); harmonic_mags is
-    the np array of all harmonic magnitudes for the frame."""
+    the np array of all harmonic magnitudes for the frame.
+
+    Each contour's frames are analyzed and rewritten as batched array ops
+    over [contour-frames, harmonics, 21-bin windows]; the only per-entry
+    Python work is the user callback, which is invoked once per
+    contour-frame with the harmonic axis vectorized (scalar-only callbacks
+    are retried per harmonic). Contours are processed in the reference's
+    sorted order and a contour's frames are all distinct, so the batched
+    writes reproduce the sequential loop's semantics exactly
+    (PVInformation.cpp:332-368) - asserted against the scalar reference
+    loop in tests.
+    """
+    from flan_tpu.pv.pv import PV
+    if self.is_null():
+        return PV.create_null()
+    min_frequency, max_frequency = 55.0, 1760.0
+    height = self.bin_to_frequency(self.num_bins - 1)
+    b_cnt = self.num_bins
+    bin_width = self.bin_width
+
+    # one device->host pull per plane; out starts as a host copy of src
+    src_mag = np.asarray(self.mag)
+    src_freq = np.asarray(self.freq)
+    out_mag = src_mag.copy()
+    out_freq = src_freq.copy()
+
+    for channel in range(self.num_channels):
+        contours = get_contours(self, channel, min_frequency, max_frequency,
+                                60, 20.0)
+        if not contours:
+            return PV.create_null()
+        contours.sort(key=lambda c: c.start_frame)
+
+        for ci, contour in enumerate(contours):
+            _prism_one_contour(self, prism_func, use_local_contour_time,
+                               channel, ci, contour, src_mag, src_freq,
+                               out_mag, out_freq, min_frequency, height,
+                               b_cnt, bin_width)
+
+    return self._with(mag=jnp.asarray(out_mag), freq=jnp.asarray(out_freq))
+
+
+def _prism_one_contour(self, prism_func, use_local_contour_time, channel,
+                       ci, contour, src_mag, src_freq, out_mag, out_freq,
+                       min_frequency, height, b_cnt, bin_width):
+        # ---- flatten this contour's frames into entry arrays ----
+        frames, cfs, approxs = [], [], []
+        for cf in range(len(contour.bins)):
+            frame = contour.start_frame + cf
+            if 0 <= frame < self.num_frames:
+                frames.append(frame)
+                cfs.append(cf)
+                approxs.append(
+                    min_frequency * 2.0 ** (contour.bins[cf][0] / 120.0))
+        if not frames:
+            return
+        fr_idx = np.asarray(frames, np.int64)
+        approx = np.asarray(approxs, np.float64)
+
+        # ---- batched base-frequency estimate (PVInformation.cpp:300-318) --
+        mg = src_mag[channel][fr_idx]                 # [M, B]
+        fq = src_freq[channel][fr_idx]
+        # ratios evaluate in float32, matching the scalar path's
+        # f32-array / python-float promotion, so borderline threshold
+        # comparisons resolve identically
+        ratio_a = fq / approx.astype(np.float32)[:, None]
+        close = ((fq > 0.01)
+                 & (ratio_a > _NOTES_CLOSE_LO)
+                 & (ratio_a < _NOTES_CLOSE_HI))
+        # accumulate in float32 like the scalar/reference path so borderline
+        # ratio/threshold comparisons resolve identically
+        w = np.where(close, np.abs(mg), np.float32(0.0)).astype(np.float32)
+        tot = w.sum(axis=-1, dtype=np.float32)
+        base = np.where(
+            tot > 0,
+            (fq * w).sum(axis=-1, dtype=np.float32)
+            / np.maximum(tot, np.float32(1e-30)), np.float32(0.0)
+        ).astype(np.float64)
+        nharm = np.where(base >= 1.0,
+                         (height / np.maximum(base, 1e-9)).astype(np.int64),
+                         0)
+        keep = np.nonzero((tot > 0) & (base >= 1.0) & (nharm >= 1))[0]
+        if keep.size == 0:
+            return
+        fr_idx, base, nharm = fr_idx[keep], base[keep], nharm[keep]
+        mg, fq = mg[keep], fq[keep]
+        cfs_k = [cfs[i] for i in keep]
+        m_cnt = keep.size
+        h_max = int(nharm.max())            # derived from the data, no cap
+
+        # ---- batched harmonic windows/selection (the former inner loops) -
+        h = np.arange(1, h_max + 1, dtype=np.float64)
+        f_h = base[:, None] * h[None, :]                 # [M, H]
+        hvalid = h[None, :] <= nharm[:, None]
+        c_bin = (f_h / bin_width).astype(np.int32)       # trunc, as int()
+        offs = np.arange(-10, 11, dtype=np.int32)
+        wb = c_bin[:, :, None] + offs[None, None, :]     # [M, H, 21]
+        vb = (wb >= 0) & (wb < b_cnt) & hvalid[:, :, None]
+        wbc = np.clip(wb, 0, b_cnt - 1)
+        m_ix = np.arange(m_cnt)[:, None, None]
+        wf = fq[m_ix, wbc]                               # [M, H, 21]
+        wm = mg[m_ix, wbc]
+        f_h32 = np.maximum(f_h, 1e-30).astype(np.float32)
+        ratio = wf / f_h32[:, :, None]                   # f32, as scalar path
+        sel = (vb & (wf > 0.01)
+               & (ratio > _NOTES_CLOSE_LO) & (ratio < _NOTES_CLOSE_HI))
+
+        fidx3 = np.broadcast_to(fr_idx[:, None, None], wb.shape)
+        out_mag[channel][fidx3[sel], wbc[sel]] = 0.0     # zeroing pass
+
+        wm_sel = np.where(sel, wm, -np.inf)
+        arg = wm_sel.argmax(axis=-1)                     # [M, H]
+        any_sel = sel.any(axis=-1)
+        max_bins = np.take_along_axis(
+            wbc, arg[:, :, None], axis=-1)[:, :, 0]
+        mm_raw = np.take_along_axis(wm, arg[:, :, None], axis=-1)[:, :, 0]
+        max_mags = np.where(any_sel & (mm_raw >= 0.01), mm_raw, 0.0)
+        max_bins = np.where(any_sel, max_bins, 0)
+
+        # ---- user callback, one call per entry (harmonics vectorized) ----
+        new_m = np.zeros((m_cnt, h_max), np.float64)
+        new_f = np.full((m_cnt, h_max), -1.0, np.float64)
+        for i in range(m_cnt):
+            hn = int(nharm[i])
+            t_arg = self.frame_to_time(
+                cfs_k[i] if use_local_contour_time else int(fr_idx[i]))
+            hm = max_mags[i, :hn].astype(np.float32)
+            try:
+                rm, rf = prism_func(ci, t_arg,
+                                    np.arange(1, hn + 1), float(base[i]),
+                                    hm)
+                rm = np.broadcast_to(
+                    np.asarray(rm, np.float64).reshape(-1), (hn,))
+                rf = np.broadcast_to(
+                    np.asarray(rf, np.float64).reshape(-1), (hn,))
+            except Exception:
+                rm = np.empty(hn)
+                rf = np.empty(hn)
+                for hh in range(hn):
+                    rm[hh], rf[hh] = prism_func(ci, t_arg, hh + 1,
+                                                float(base[i]), hm)
+            new_m[i, :hn] = rm
+            new_f[i, :hn] = rf
+
+        # ---- batched shifted-copy writes (max-magnitude combine) ---------
+        wh = hvalid & (max_mags != 0) & (new_f >= 0)
+        f_h_safe = np.maximum(f_h, 1e-30)
+        new_max_bin = (new_f / f_h_safe * max_bins).astype(np.int64)
+        shift = new_max_bin - max_bins
+        nb = wb + shift[:, :, None]
+        ok = sel & wh[:, :, None] & (nb >= 0) & (nb < b_cnt)
+        m_scale = np.where(max_mags != 0,
+                           new_m / np.maximum(max_mags, 1e-30),
+                           0.0).astype(np.float32)
+        sm = wm * m_scale[:, :, None]
+        smf = wf * (new_f / f_h_safe)[:, :, None]
+        # ---- batched hann-bump paint where no harmonic energy existed ----
+        wp = hvalid & (max_mags == 0) & (new_f >= 0)
+        bw = 10.0
+        lo_f = new_f - bw / 2.0
+        hi_f = new_f + bw / 2.0
+        w2 = int(bw / bin_width) + 2
+        pofs = np.arange(w2, dtype=np.int64)
+        lo_bin = np.ceil(lo_f / bin_width).astype(np.int64)
+        pb = lo_bin[:, :, None] + pofs[None, None, :]       # [M, H, W2]
+        okp = (wp[:, :, None] & (pb >= 0) & (pb < b_cnt)
+               & (pb * bin_width <= hi_f[:, :, None]))
+        pos = (pb * bin_width - lo_f[:, :, None]) / bw
+        pval = new_m[:, :, None] * 0.5 * (1.0 - np.cos(2 * np.pi * pos))
+        fidx3p = np.broadcast_to(fr_idx[:, None, None], pb.shape)
+        pbc = np.clip(pb, 0, b_cnt - 1)
+
+        # Writes apply harmonic-by-harmonic (each step batched over all
+        # entries and window taps) to preserve the reference's in-frame
+        # ordering between max-combine copies and unconditional paints of
+        # different harmonics (PVInformation.cpp:332-368).
+        for hh in range(h_max):
+            sel_h = ok[:, hh, :]
+            if sel_h.any():
+                fi = fidx3[:, hh, :][sel_h]
+                bi = nb[:, hh, :][sel_h]
+                vals = sm[:, hh, :][sel_h].astype(np.float32)
+                vfs = smf[:, hh, :][sel_h]
+                np.maximum.at(out_mag[channel], (fi, bi), vals)
+                winners = out_mag[channel][fi, bi] == vals
+                out_freq[channel][fi[winners], bi[winners]] = vfs[winners]
+            selp_h = okp[:, hh, :]
+            if selp_h.any():
+                fip = fidx3p[:, hh, :][selp_h]
+                bip = pbc[:, hh, :][selp_h]
+                out_mag[channel][fip, bip] = \
+                    pval[:, hh, :][selp_h].astype(np.float32)
+                out_freq[channel][fip, bip] = np.broadcast_to(
+                    new_f[:, hh, None],
+                    pb[:, hh, :].shape)[selp_h].astype(np.float32)
+
+
+def _prism_scalar_reference(self, prism_func,
+                            use_local_contour_time: bool = True):
+    """The original per-bin scalar rewrite loop, kept as the equivalence
+    oracle for the batched prism above (tests/test_pv_information.py).
+    Mirrors the reference's sequential control flow exactly
+    (PVInformation.cpp:265-421)."""
     from flan_tpu.pv.pv import PV
     if self.is_null():
         return PV.create_null()
@@ -235,10 +446,10 @@ def prism(self, prism_func, use_local_contour_time: bool = True):
     height = self.bin_to_frequency(self.num_bins - 1)
     b_cnt = self.num_bins
 
-    out_mag = np.array(self.mag)
-    out_freq = np.array(self.freq)
     src_mag = np.asarray(self.mag)
     src_freq = np.asarray(self.freq)
+    out_mag = src_mag.copy()
+    out_freq = src_freq.copy()
 
     for channel in range(self.num_channels):
         contours = get_contours(self, channel, min_frequency, max_frequency,
@@ -257,10 +468,16 @@ def prism(self, prism_func, use_local_contour_time: bool = True):
                 mg = src_mag[channel, frame]
                 close = (fr > 0.01) & (fr / approx > _NOTES_CLOSE_LO) \
                     & (fr / approx < _NOTES_CLOSE_HI)
-                tot = np.abs(mg[close]).sum()
+                # masked full-row sums (not compacted-array sums) so the
+                # pairwise-summation tree matches the batched prism's
+                # bit-for-bit; numpy rounds the two forms differently,
+                # which flips ceil/threshold decisions at exact bin edges
+                wmask = np.where(close, np.abs(mg),
+                                 np.float32(0.0)).astype(np.float32)
+                tot = wmask.sum(dtype=np.float32)
                 if tot == 0:
                     continue
-                base = float((fr[close] * np.abs(mg[close])).sum() / tot)
+                base = float((fr * wmask).sum(dtype=np.float32) / tot)
                 if base < 1.0:
                     continue
                 nharm = int(height / base)
