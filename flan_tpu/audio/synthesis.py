@@ -288,10 +288,61 @@ def _mix_repeated(audio, times: np.ndarray, gains=None):
     return Audio(data=out.astype(jnp.float32), sample_rate=sr)
 
 
+def _texture_mod_batched(self, times: np.ndarray, mod, batch: int = 8):
+    """Batched independent-grain path: chunks of `batch` grains run under
+    one vmapped trace inside a lax.scan that accumulates directly into the
+    output (no per-grain Python dispatch, no list-of-grains mix). Returns
+    None when the mod is not jax-traceable (host control flow on t or on
+    the buffer) - the caller falls back to the sequential loop.
+    (VERDICT.md round 1, item 7)."""
+    import jax
+    from flan_tpu.audio.audio import Audio
+    sr = self.sample_rate
+
+    def mod_data(t):
+        return mod(self, t).data
+
+    try:
+        shape = jax.eval_shape(mod_data, jax.ShapeDtypeStruct((), jnp.float32))
+    except Exception:
+        return None
+    g_c, g_n = shape.shape
+
+    starts = np.round(np.asarray(times) * sr).astype(np.int64)
+    out_n = int(starts.max()) + g_n
+    g = len(times)
+    nchunks = -(-g // batch)
+    gpad = nchunks * batch
+    t_pad = np.zeros(gpad, np.float32)
+    t_pad[:g] = np.asarray(times, np.float32)
+    s_pad = np.zeros(gpad, np.int32)
+    s_pad[:g] = starts
+    live = np.zeros(gpad, np.float32)
+    live[:g] = 1.0
+
+    ts = jnp.asarray(t_pad).reshape(nchunks, batch)
+    ss = jnp.asarray(s_pad).reshape(nchunks, batch)
+    lv = jnp.asarray(live).reshape(nchunks, batch)
+
+    def step(acc, inp):
+        t_b, s_b, l_b = inp
+        grains = jax.vmap(mod_data)(t_b) * l_b[:, None, None]
+        for j in range(batch):
+            cur = jax.lax.dynamic_slice(acc, (0, s_b[j]), (g_c, g_n))
+            acc = jax.lax.dynamic_update_slice(acc, cur + grains[j],
+                                               (0, s_b[j]))
+        return acc, None
+
+    acc0 = jnp.zeros((g_c, out_n + g_n), jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, (ts, ss, lv))
+    return Audio(data=acc[:, :out_n], sample_rate=sr)
+
+
 def texture(self, length: float, grains_per_second, time_scatter,
             mod=None, mod_feedback: bool = False, *, seed: int = 0):
     """Granular texture from a single source
-    (reference AudioSynthesis.cpp:423-473)."""
+    (reference AudioSynthesis.cpp:423-473). Independent grains (no
+    feedback) run batched on device when the mod is traceable."""
     from flan_tpu.audio.audio import Audio
     if self.is_null():
         return Audio.create_null()
@@ -301,6 +352,10 @@ def texture(self, length: float, grains_per_second, time_scatter,
         return Audio.create_null()
     if mod is None:
         return _mix_repeated(self, times)
+    if not mod_feedback:
+        batched = _texture_mod_batched(self, times, mod)
+        if batched is not None:
+            return batched
     grains = []
     current = self
     for i, t in enumerate(times):

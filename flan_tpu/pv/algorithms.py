@@ -195,38 +195,51 @@ def synthesize(length: float, freq, harmonic_weights=None,
     return out._with(mag=mag[None], freq=freq_out[None])
 
 
-def _harmonic_scaler(self, series, harmonic_freq_fn, num_harmonics: int,
-                     chunk: int = 16):
+def _harmonic_scaler(self, series, harmonic_freq_fn, num_harmonics: int):
     """Scatter-max harmonic painting (reference harmonic_scaler,
-    PV.cpp:362-407)."""
+    PV.cpp:362-407). The series is sampled on the host per harmonic (the
+    reference's Function<pair<Second, Harmonic>, Magnitude> is scalar over
+    time, so this costs [H, F] floats), then both write passes run as
+    lax.scans over harmonics - a data-derived harmonic count cannot
+    explode the trace."""
     c, f, b = self.mag.shape
     t = jnp.arange(f, dtype=jnp.float32) / self.analysis_rate
-
-    out_mag = jnp.zeros_like(self.mag)
-    out_freq = jnp.full_like(self.freq, -jnp.inf)
     frame_ix = jnp.arange(f)[None, :, None]
     chan_ix = jnp.arange(c)[:, None, None]
 
     series_fn = series if callable(series) else (lambda tt, hh: series)
+    s_rows = [jnp.broadcast_to(
+        jnp.asarray(series_fn(t[:, None], h), jnp.float32), (f, 1))[:, 0]
+        for h in range(num_harmonics)]
+    s_grid = jnp.stack(s_rows)                        # [H, F]
+    hs = jnp.arange(num_harmonics, dtype=jnp.float32)
 
-    # pass 1: scatter-max the painted magnitudes
-    writes = []
-    for h in range(num_harmonics):
-        hf = harmonic_freq_fn(self.freq, h + 1)      # [C, F, B]
+    def step_vals(h, s_row):
+        hf = harmonic_freq_fn(self.freq, h + 1.0)     # [C, F, B]
         hbin = (hf / self.bin_width).astype(jnp.int32)
-        s = jnp.broadcast_to(
-            jnp.asarray(series_fn(t[:, None], h), jnp.float32), (f, b))
-        val = self.mag * s[None]
+        val = self.mag * s_row[None, :, None]
         valid = (self.freq > 1.0) & (hbin < b) & (hbin >= 0)
         tb = jnp.clip(hbin, 0, b - 1)
-        writes.append((tb, jnp.where(valid, val, -1.0), hf, valid))
-        out_mag = out_mag.at[chan_ix, frame_ix, tb].max(writes[-1][1])
-    # pass 2: the winning magnitude's frequency (ties resolved by max freq)
-    for tb, val, hf, valid in writes:
+        return tb, jnp.where(valid, val, -1.0), hf, valid
+
+    def mag_body(out_m, inp):
+        h, s_row = inp
+        tb, val, _, _ = step_vals(h, s_row)
+        return out_m.at[chan_ix, frame_ix, tb].max(val), None
+
+    out_mag, _ = jax.lax.scan(mag_body, jnp.zeros_like(self.mag),
+                              (hs, s_grid))
+
+    def freq_body(out_f, inp):
+        h, s_row = inp
+        tb, val, hf, valid = step_vals(h, s_row)
         winner = out_mag[chan_ix, frame_ix, tb]
         write = valid & (val >= winner) & (val > 0)
-        out_freq = out_freq.at[chan_ix, frame_ix, tb].max(
-            jnp.where(write, hf, -jnp.inf))
+        return out_f.at[chan_ix, frame_ix, tb].max(
+            jnp.where(write, hf, -jnp.inf)), None
+
+    out_freq, _ = jax.lax.scan(freq_body, jnp.full_like(self.freq, -jnp.inf),
+                               (hs, s_grid))
     out_freq = jnp.where(jnp.isneginf(out_freq), 0.0, out_freq)
     return self._with(mag=jnp.maximum(out_mag, 0.0), freq=out_freq)
 
@@ -242,16 +255,26 @@ def add_octaves(self, series):
                             lambda fr, h: fr * (2.0 ** h), n)
 
 
-def add_harmonics(self, series, max_harmonics: int = 64):
-    """(reference PV.cpp:415-419). The reference paints up to num_bins
-    harmonics; harmonics are capped here (painting beyond max_harmonics
-    only affects sources below max_freq/max_harmonics)."""
+def add_harmonics(self, series, max_harmonics: Optional[int] = None):
+    """(reference PV.cpp:415-419). The harmonic count is derived from the
+    data: the lowest live partial determines how many harmonics can land
+    inside the band, exactly the set the reference's per-MF while loop
+    paints. max_harmonics is an optional explicit ceiling."""
     from flan_tpu.pv.pv import PV
     if self.is_null():
         return PV.create_null()
+    height = self.bin_to_frequency(self.num_bins - 1)
+    live = (self.freq > 1.0) & (self.mag > 0)
+    fmin = float(jnp.min(jnp.where(live, self.freq, jnp.inf)))
+    if not np.isfinite(fmin):
+        return self.copy()
+    derived = max(1, int(np.ceil(height / max(fmin, 1.0))))
+    if max_harmonics is not None and derived > max_harmonics:
+        print(f"add_harmonics: derived harmonic count {derived} clipped "
+              f"to explicit max_harmonics={max_harmonics}")
+        derived = max_harmonics
     return _harmonic_scaler(self, series,
-                            lambda fr, h: fr * (h + 1.0),
-                            min(self.num_bins, max_harmonics))
+                            lambda fr, h: fr * (h + 1.0), derived)
 
 
 def shape(self, shaper, use_shift_alignment: bool = False):

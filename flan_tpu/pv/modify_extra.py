@@ -7,7 +7,7 @@ flan_tpu.pv.__init__.
 from __future__ import annotations
 
 import math
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -68,11 +68,13 @@ def desample(self, decimation_ratio,
 
 
 def smear_time(self, smear_size, granularity=5, distribution=None,
-               max_kernel: int = 128):
+               max_kernel: Optional[int] = None):
     """Windowed time average of surrounding MF data
-    (reference PVModify.cpp:513-605). Computed as a static offset-kernel
-    sum with masks; offsets beyond max_kernel half-taps are truncated
-    (the reference walks arbitrary distances)."""
+    (reference PVModify.cpp:513-605). The kernel half-width is derived
+    from the sampled smear sizes themselves (no static truncation; the
+    reference walks arbitrary distances) and the offset sweep runs as one
+    lax.scan, so huge smears neither clip nor explode the trace.
+    max_kernel remains as an optional explicit ceiling."""
     from flan_tpu.pv.pv import PV
     if self.is_null():
         return PV.create_null()
@@ -91,34 +93,52 @@ def smear_time(self, smear_size, granularity=5, distribution=None,
     right = int(np.ceil(float(jnp.max(exp_frames[-1]))))
     f_out = f + left + right
 
-    half_taps = min(max_kernel, max(max_exp, 1))
-    offs = jnp.arange(-half_taps, half_taps)              # [K]
+    half_taps = max(max_exp, 1)                           # from the data
+    if max_kernel is not None and half_taps > max_kernel:
+        print(f"smear_time: derived kernel {half_taps} half-taps clipped "
+              f"to explicit max_kernel={max_kernel}")
+        half_taps = max_kernel
     min_gran = max(1, int(jnp.min(gran)))
-    offs = offs * min_gran if min_gran > 1 else offs
+    offs = jnp.arange(-half_taps, half_taps, dtype=jnp.int32)
+    if min_gran > 1:
+        offs = offs * min_gran
 
     in_frame = jnp.clip(jnp.arange(f_out) - left, 0, f - 1)
-
     exp_o = exp_frames[in_frame]                          # [F_out, B]
-    mag_sum = jnp.zeros((c, f_out, b), jnp.float32)
-    freq_sum = jnp.zeros((c, f_out, b), jnp.float32)
-    total_w = jnp.zeros((f_out, b), jnp.float32)
-    used_w = jnp.zeros((f_out, b), jnp.float32)
+    out_rows = jnp.arange(f_out)
 
-    for k in range(offs.shape[0]):
-        off = int(offs[k])
+    # frames padded so every offset is one dynamic_slice of length f_out:
+    # src row i-left+off maps to padded row i + off + half_span
+    half_span = half_taps * min_gran
+    pad_l = left + half_span
+    pad_r = max(0, f_out - left + half_span - f)
+    mag_p = jnp.pad(self.mag, [(0, 0), (pad_l, pad_r), (0, 0)])
+    freq_p = jnp.pad(self.freq, [(0, 0), (pad_l, pad_r), (0, 0)])
+
+    def body(carry, off):
+        mag_sum, freq_sum, total_w, used_w = carry
         in_window = jnp.abs(off) < jnp.maximum(exp_o, 1e-9)
         dist_in = (off / self.analysis_rate) / jnp.maximum(
             exp_o / self.analysis_rate, 1e-9)
         w = jnp.asarray(distribution(jnp.clip(dist_in, -1.0, 1.0)),
                         jnp.float32) * in_window
-        total_w = total_w + w
-        src = jnp.arange(f_out) - left + off
+        src = out_rows - left + off
         ok = (src >= 0) & (src < f)
-        srcc = jnp.clip(src, 0, f - 1)
         w_ok = w * ok[:, None]
-        used_w = used_w + w_ok
-        mag_sum = mag_sum + self.mag[:, srcc] * w_ok[None]
-        freq_sum = freq_sum + self.freq[:, srcc] * w_ok[None]
+        mslice = jax.lax.dynamic_slice(
+            mag_p, (0, off + half_span, 0), (c, f_out, b))
+        fslice = jax.lax.dynamic_slice(
+            freq_p, (0, off + half_span, 0), (c, f_out, b))
+        return (mag_sum + mslice * w_ok[None],
+                freq_sum + fslice * w_ok[None],
+                total_w + w, used_w + w_ok), None
+
+    init = (jnp.zeros((c, f_out, b), jnp.float32),
+            jnp.zeros((c, f_out, b), jnp.float32),
+            jnp.zeros((f_out, b), jnp.float32),
+            jnp.zeros((f_out, b), jnp.float32))
+    (mag_sum, freq_sum, total_w, used_w), _ = jax.lax.scan(
+        body, init, offs)
 
     out_mag = jnp.where(total_w[None] > 0, mag_sum / jnp.maximum(
         total_w[None], 1e-12), 0.0)
@@ -261,13 +281,14 @@ def _natural_spline_matrix(xs: np.ndarray, ts: np.ndarray) -> np.ndarray:
 
 
 def modify(self, mod, interp: Callable = interpolators.linear,
-           max_quad_span: int = 8):
+           max_quad_span: Optional[int] = None):
     """General time x frequency remap via quad rasterization
     (reference PVModify.cpp:15-194). Each input cell quad is rasterized
-    over a static max_quad_span^2 neighborhood of its bounding-box corner
-    with inverse-bilinear interpolation and MIMM scatter-max writes; quads
-    spanning more cells than max_quad_span are clipped (the reference
-    rasterizes arbitrarily large quads with per-frame mutexes)."""
+    with inverse-bilinear interpolation and MIMM scatter-max writes over a
+    neighborhood whose span is derived from the mapped quads themselves
+    (the reference rasterizes arbitrarily large quads with per-frame
+    mutexes; here a lax.scan sweeps the derived span). max_quad_span is an
+    optional explicit ceiling."""
     from flan_tpu.pv.pv import PV
     if self.is_null():
         return PV.create_null()
@@ -324,62 +345,90 @@ def modify(self, mod, interp: Callable = interpolators.linear,
     freqs = (mf_freq[:, :-1, :-1], mf_freq[:, 1:, :-1],
              mf_freq[:, 1:, 1:], mf_freq[:, :-1, 1:])
 
-    out_mag = jnp.zeros((c, out_frames, b), jnp.float32)
-    out_freq = jnp.full((c, out_frames, b), -jnp.inf)
-    writes = []
-    for dx in range(max_quad_span):
-        for dy in range(max_quad_span):
-            X = (minx + dx).astype(jnp.float32)
-            Y = (miny + dy).astype(jnp.float32)
-            # solve bilinear (l, m): X = a0+a1 l+a2 m+a3 l m, same for Y
-            qa = a3 * b2 - a2 * b3
-            qb = (a3 * b0 - a0 * b3 + a1 * b2 - a2 * b1
-                  + X * b3 - a3 * Y)
-            qc = a1 * b0 - a0 * b1 + X * b1 - a1 * Y
-            disc = qb * qb - 4.0 * qa * qc
-            lin = jnp.abs(qa) < 1e-9
-            mm = jnp.where(
-                lin,
-                -qc / jnp.where(jnp.abs(qb) > 1e-9, qb, 1.0),
-                (-qb + jnp.sqrt(jnp.maximum(disc, 0.0)))
-                / jnp.where(lin, 1.0, 2.0 * qa))
-            ldenom = a1 + a3 * mm
-            ll = (X - a0 - a2 * mm) / jnp.where(jnp.abs(ldenom) > 1e-9,
-                                                ldenom, 1.0)
-            eps = 1e-4
-            inside = ((jnp.abs(ll - 0.5) <= 0.5 + eps)
-                      & (jnp.abs(mm - 0.5) <= 0.5 + eps)
-                      & (disc >= 0))
-            iL = interp(jnp.clip(ll, 0.0, 1.0))
-            iM = interp(jnp.clip(mm, 0.0, 1.0))
-            w = (
-                (1 - iL) * (1 - iM) * mags[0],
-                iL * (1 - iM) * mags[1],
-                iL * iM * mags[2],
-                (1 - iL) * iM * mags[3],
-            )
-            wstack = jnp.stack(w)
-            max_i = jnp.argmax(wstack, axis=0)
-            max_w = jnp.max(wstack, axis=0)
-            sel_freq = jnp.stack(freqs)[
-                max_i, jnp.arange(c)[:, None, None],
-                jnp.arange(f - 1)[None, :, None],
-                jnp.arange(b - 1)[None, None, :]]
-            tx = jnp.clip(minx + dx, 0, out_frames - 1)
-            ty = jnp.clip(miny + dy, 0, b - 1)
-            ok = (inside[None] & (minx + dx >= 0)[None]
-                  & (minx + dx < out_frames)[None]
-                  & (miny + dy >= 0)[None] & (miny + dy < b)[None]
-                  & (max_w > 0))
-            chan_ix = jnp.arange(c)[:, None, None]
-            val = jnp.where(ok, max_w, -1.0)
-            out_mag = out_mag.at[chan_ix, tx[None], ty[None]].max(val)
-            writes.append((tx, ty, val, sel_freq, ok))
-    for tx, ty, val, sel_freq, ok in writes:
-        chan_ix = jnp.arange(c)[:, None, None]
+    # derive the rasterization span from the mapped quads themselves
+    # (VERDICT.md round 1, item 9): the neighborhood swept per quad covers
+    # the largest quad bounding box in the data, so nothing clips.
+    maxx = jnp.maximum(jnp.maximum(x00, x10), jnp.maximum(x11, x01))
+    maxy = jnp.maximum(jnp.maximum(y00, y10), jnp.maximum(y11, y01))
+    span_x = int(float(jnp.max(jnp.floor(maxx) - minx))) + 1
+    span_y = int(float(jnp.max(jnp.floor(maxy) - miny))) + 1
+    span_x = max(span_x, 1)
+    span_y = max(span_y, 1)
+    if max_quad_span is not None and (span_x > max_quad_span
+                                      or span_y > max_quad_span):
+        print(f"PV.modify: derived quad span ({span_x}x{span_y}) clipped "
+              f"to explicit max_quad_span={max_quad_span}")
+        span_x = min(span_x, max_quad_span)
+        span_y = min(span_y, max_quad_span)
+
+    chan_ix = jnp.arange(c)[:, None, None]
+    freqs_st = jnp.stack(freqs)
+
+    def step_vals(step):
+        """(tx, ty, val, sel_freq, ok) for neighborhood offset index."""
+        dx = step // span_y
+        dy = step % span_y
+        X = (minx + dx).astype(jnp.float32)
+        Y = (miny + dy).astype(jnp.float32)
+        # solve bilinear (l, m): X = a0+a1 l+a2 m+a3 l m, same for Y
+        qa = a3 * b2 - a2 * b3
+        qb = (a3 * b0 - a0 * b3 + a1 * b2 - a2 * b1
+              + X * b3 - a3 * Y)
+        qc = a1 * b0 - a0 * b1 + X * b1 - a1 * Y
+        disc = qb * qb - 4.0 * qa * qc
+        lin = jnp.abs(qa) < 1e-9
+        mm = jnp.where(
+            lin,
+            -qc / jnp.where(jnp.abs(qb) > 1e-9, qb, 1.0),
+            (-qb + jnp.sqrt(jnp.maximum(disc, 0.0)))
+            / jnp.where(lin, 1.0, 2.0 * qa))
+        ldenom = a1 + a3 * mm
+        ll = (X - a0 - a2 * mm) / jnp.where(jnp.abs(ldenom) > 1e-9,
+                                            ldenom, 1.0)
+        eps = 1e-4
+        inside = ((jnp.abs(ll - 0.5) <= 0.5 + eps)
+                  & (jnp.abs(mm - 0.5) <= 0.5 + eps)
+                  & (disc >= 0))
+        iL = interp(jnp.clip(ll, 0.0, 1.0))
+        iM = interp(jnp.clip(mm, 0.0, 1.0))
+        w = jnp.stack([
+            (1 - iL) * (1 - iM) * mags[0],
+            iL * (1 - iM) * mags[1],
+            iL * iM * mags[2],
+            (1 - iL) * iM * mags[3],
+        ])
+        max_i = jnp.argmax(w, axis=0)
+        max_w = jnp.max(w, axis=0)
+        sel_freq = jnp.take_along_axis(freqs_st, max_i[None], axis=0)[0]
+        tx = jnp.clip(minx + dx, 0, out_frames - 1)
+        ty = jnp.clip(miny + dy, 0, b - 1)
+        ok = (inside[None] & (minx + dx >= 0)[None]
+              & (minx + dx < out_frames)[None]
+              & (miny + dy >= 0)[None] & (miny + dy < b)[None]
+              & (max_w > 0))
+        val = jnp.where(ok, max_w, -1.0)
+        return tx, ty, val, sel_freq, ok
+
+    steps = jnp.arange(span_x * span_y, dtype=jnp.int32)
+
+    # pass 1: MIMM magnitude scatter-max over the derived neighborhood
+    def mag_body(out_m, step):
+        tx, ty, val, _, _ = step_vals(step)
+        return out_m.at[chan_ix, tx[None], ty[None]].max(val), None
+
+    out_mag, _ = jax.lax.scan(
+        mag_body, jnp.zeros((c, out_frames, b), jnp.float32), steps)
+
+    # pass 2: the winning magnitude's frequency (recomputed per step so no
+    # O(span^2 x F x B) write list is materialized)
+    def freq_body(out_f, step):
+        tx, ty, val, sel_freq, ok = step_vals(step)
         winner = out_mag[chan_ix, tx[None], ty[None]]
         write = ok & (val >= winner) & (val > 0)
-        out_freq = out_freq.at[chan_ix, tx[None], ty[None]].max(
-            jnp.where(write, sel_freq, -jnp.inf))
+        return out_f.at[chan_ix, tx[None], ty[None]].max(
+            jnp.where(write, sel_freq, -jnp.inf)), None
+
+    out_freq, _ = jax.lax.scan(
+        freq_body, jnp.full((c, out_frames, b), -jnp.inf), steps)
     out_freq = jnp.where(jnp.isneginf(out_freq), 0.0, out_freq)
     return self._with(mag=out_mag, freq=out_freq)

@@ -105,3 +105,32 @@ def test_granulate():
                     fade_time=0.01)
     assert not g.is_null()
     assert g.num_frames >= int(0.4 * SR)
+
+
+def test_texture_mod_batched_matches_sequential():
+    """The batched independent-grain path equals grain-by-grain mixing
+    (VERDICT.md round 1, item 7)."""
+    import jax.numpy as jnp
+    from flan_tpu.audio import synthesis as S
+    sr = 8000.0
+    t = np.arange(2000, dtype=np.float32) / sr
+    a = Audio.create_from_array(
+        (0.5 * np.sin(2 * np.pi * 440 * t))[None].astype(np.float32), sr)
+    mod = lambda src, tt: src._with(data=src.data * (0.5 + 0.1 * jnp.sin(tt)))
+    fast = a.texture(2.0, 15.0, 0.1, mod=mod, seed=3)
+    times = S.integrate_event_rate(2.0, 15.0, 0.1, sr, seed=3)
+    slow = Audio.mix([mod(a, float(x)) for x in times],
+                     start_times=list(times))
+    m = min(fast.num_frames, slow.num_frames)
+    np.testing.assert_allclose(np.asarray(fast.data[:, :m]),
+                               np.asarray(slow.data[:, :m]), atol=1e-6)
+
+
+def test_texture_mod_untraceable_falls_back():
+    sr = 8000.0
+    t = np.arange(2000, dtype=np.float32) / sr
+    a = Audio.create_from_array(
+        (0.5 * np.sin(2 * np.pi * 440 * t))[None].astype(np.float32), sr)
+    mod = lambda src, tt: src.cut(0.0, 0.05 + float(tt) * 0.0)
+    out = a.texture(1.0, 10.0, 0.0, mod=mod, seed=1)
+    assert not out.is_null()
