@@ -114,3 +114,33 @@ def test_convert_to_function():
     v = float(np.asarray(fn(jnp.float32(0.05))))
     expected = float(a.data[0, int(0.05 * SR)])
     assert v == pytest.approx(expected, abs=1e-5)
+
+
+def test_add_moisture_zero_amount_is_identity():
+    """amount=0 leaves the signal untouched up to the oversample
+    round-trip (reference AudioVolume.cpp:168-188)."""
+    a = sine(freq=100.0, seconds=0.5)
+    out = a.add_moisture(0.0)
+    n = min(a.num_frames, out.num_frames)
+    g = 500  # resampler edge guard
+    x = np.asarray(a.data)[:, g:n - g]
+    y = np.asarray(out.data)[:, g:n - g]
+    rel = np.sqrt(((x - y) ** 2).mean()) / np.sqrt((x ** 2).mean())
+    assert rel < 0.02  # bounded by the oversample resampler round trip
+
+
+def test_add_moisture_adds_harmonics():
+    a = sine(freq=100.0, seconds=0.5)
+    out = a.add_moisture(0.5, frequency=300.0)
+    n = min(a.num_frames, out.num_frames)
+    g = 500
+
+    def hf_fraction(d):
+        w = np.hanning(n - 2 * g)  # window away leakage of the raw sine
+        s = np.abs(np.fft.rfft(d[0, g:n - g] * w)) ** 2
+        freqs = np.fft.rfftfreq(n - 2 * g, 1 / SR)
+        return s[freqs > 400].sum() / s.sum()
+
+    assert hf_fraction(np.asarray(a.data)) < 1e-6
+    assert hf_fraction(np.asarray(out.data)[:, :n]) > 1e-2
+    assert np.isfinite(np.asarray(out.data)).all()

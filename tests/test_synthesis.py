@@ -126,6 +126,74 @@ def test_texture_mod_batched_matches_sequential():
                                np.asarray(slow.data[:, :m]), atol=1e-6)
 
 
+def test_psola_preserves_pitch():
+    """PSOLA at unchanged rate reproduces the source pitch: grain rate
+    tracks the detected pitch and each grain spans two periods
+    (reference AudioSynthesis.cpp:611-638)."""
+    t = np.arange(int(SR), dtype=np.float32) / SR
+    src = Audio.create_from_array(
+        (0.5 * np.sin(2 * np.pi * 200 * t))[None], SR)
+    out = src.psola(0.5, 0.5)
+    assert not out.is_null()
+    assert out.num_frames >= int(0.4 * SR)
+    assert np.isfinite(np.asarray(out.data)).all()
+    assert dominant_freq(out, 1000, 2048) == pytest.approx(200, abs=20)
+
+
+def test_psola_mod_applies():
+    t = np.arange(int(SR), dtype=np.float32) / SR
+    src = Audio.create_from_array(
+        (0.5 * np.sin(2 * np.pi * 200 * t))[None], SR)
+    out = src.psola(0.3, 0.5, mod=lambda a, tt: a.modify_volume(0.0))
+    assert float(np.abs(np.asarray(out.data)).max()) == 0.0
+
+
+def test_synthesize_trainlets():
+    """Trainlets: spatialized trains of harmonic impulses
+    (reference AudioSynthesis.cpp:543-570; position is a vec2)."""
+    tr = Audio.synthesize_trainlets(
+        0.5, 6.0, 0.0, (1.0, 0.0), 1.0, 200.0, 0.05,
+        num_harmonics=16, chroma=1.0, impulse_harmonic_frequency=100.0,
+        sample_rate=SR, seed=1)
+    assert not tr.is_null()
+    assert tr.num_channels == 2  # stereo_spatialize output
+    assert tr.num_frames >= int(0.4 * SR)
+    d = np.asarray(tr.data)
+    assert np.isfinite(d).all()
+    assert np.sqrt((d ** 2).mean()) > 0.01
+    # position (1, 0) is dead ahead: both ears get comparable energy
+    el, er = (d[0] ** 2).sum(), (d[1] ** 2).sum()
+    assert 0.2 < el / er < 5.0
+
+
+def test_synthesize_spectrum():
+    """Giant-IFFT spectrum playback (reference AudioSynthesis.cpp:151-268).
+
+    Behavioral quirk preserved from the reference: harmonics are painted
+    at bins b_h where b_h * sr / nbins = h * fundamental, but playback
+    advances freq/fundamental *table frames* per output frame, so
+    harmonic h sounds at h * freq * nbins / wavelength ~= h * freq / 2.
+    """
+    sp = Audio.synthesize_spectrum(0.3, 200.0, fundamental_power=6,
+                                   spectrum_size_power=14, num_channels=1,
+                                   sample_rate=SR, seed=0)
+    assert not sp.is_null()
+    assert sp.num_frames == int(0.3 * SR)
+    d = np.asarray(sp.data)
+    assert np.isfinite(d).all()
+    assert float(np.abs(d).max()) == pytest.approx(1.0, abs=0.01)  # set_volume(1)
+    wavelength = 2 ** 14
+    nbins = wavelength // 2 + 1
+    expected = 200.0 * nbins / wavelength  # ~100 Hz, reference quirk
+    assert dominant_freq(sp, 200, 2048) == pytest.approx(expected, abs=15)
+
+
+def test_synthesize_spectrum_invalid_args_null():
+    assert Audio.synthesize_spectrum(0.0, 200.0).is_null()
+    assert Audio.synthesize_spectrum(
+        0.3, 200.0, fundamental_power=20, spectrum_size_power=14).is_null()
+
+
 def test_texture_mod_untraceable_falls_back():
     sr = 8000.0
     t = np.arange(2000, dtype=np.float32) / sr
