@@ -107,15 +107,27 @@ class Graph:
 
             lo_v = np.zeros(len(xs))
             hi_v = np.zeros(len(xs))
-            for k, (i0, i1) in enumerate(zip(idx, idx_next)):
-                if not valid[k]:
-                    continue
-                span = d[i0:max(i1, i0 + 1)]
-                if mode == WaveformMode.SYMMETRIC:
-                    amp = float(np.abs(span).max())
-                    lo_v[k], hi_v[k] = -amp, amp
+            sel = np.flatnonzero(valid)  # contiguous run (monotonic map)
+            if sel.size:
+                # per-column span reductions via reduceat: consecutive
+                # columns share boundaries (idx_next[k] == idx[k+1]); a
+                # non-increasing pair yields the single sample d[idx[k]],
+                # matching the i0+1 fallback of the scalar form
+                starts = np.clip(idx[sel], 0, n - 1)
+                end_last = int(idx_next[sel[-1]])
+                if end_last < n:
+                    bounds = np.append(starts,
+                                       max(end_last, int(starts[-1]) + 1))
+                    trim = slice(0, -1)
                 else:
-                    lo_v[k], hi_v[k] = float(span.min()), float(span.max())
+                    bounds = starts
+                    trim = slice(None)
+                if mode == WaveformMode.SYMMETRIC:
+                    amp = np.maximum.reduceat(np.abs(d), bounds)[trim]
+                    lo_v[sel], hi_v[sel] = -amp, amp
+                else:
+                    lo_v[sel] = np.minimum.reduceat(d, bounds)[trim]
+                    hi_v[sel] = np.maximum.reduceat(d, bounds)[trim]
             y_top = view.y_u_to_v(mid + hi_v * half)
             y_bot = view.y_u_to_v(mid + lo_v * half)
             rows = np.arange(self.height)[:, None]
@@ -181,16 +193,20 @@ class Graph:
                 sel = (u >= domain.x1) & (u <= domain.x2)
             else:
                 sel = np.ones_like(u, bool)
-            ys = np.asarray([float(f(x)) for x in u])
+            try:  # vectorized evaluation when f accepts arrays
+                ys = np.asarray(f(u), np.float64).reshape(-1)
+                if ys.shape != u.shape:
+                    raise ValueError
+            except Exception:
+                ys = np.asarray([float(f(x)) for x in u])
             py = np.round(view.y_u_to_v(ys)).astype(np.int64)
-            for k in range(self.width - 1):
-                if not (sel[k] and sel[k + 1]):
-                    continue
-                y0, y1 = sorted((py[k], py[k + 1]))
-                y0 = max(y0, 0)
-                y1 = min(y1, self.height - 1)
-                if y1 >= y0:
-                    self.image[y0:y1 + 1, k] = color.as_array()
+            # vertical segment per column pair, rasterized as one 2-D mask
+            y0 = np.maximum(np.minimum(py[:-1], py[1:]), 0)
+            y1 = np.minimum(np.maximum(py[:-1], py[1:]), self.height - 1)
+            ok = sel[:-1] & sel[1:] & (y1 >= y0)
+            rows = np.arange(self.height)[:, None]
+            mask = (rows >= y0[None, :]) & (rows <= y1[None, :]) & ok[None, :]
+            self.image[:, : self.width - 1][mask] = color.as_array()
 
     def draw_points(self, points: Sequence[Tuple[float, float]],
                     plane: int = ALL_PLANES,
