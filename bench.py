@@ -186,10 +186,20 @@ def bench_morph():
         _sync(morph.convert_to_audio().data)
 
     best = _best_time(run, reps=2)
+
+    # the fused streaming path (audio->audio, O(chunk) HBM) for comparison
+    from flan_tpu.pipelines import pv_morph_pipeline
+
+    def run_fused():
+        _sync(pv_morph_pipeline(
+            a.data, b.data, lambda t, f: jnp.clip(t / seconds, 0.0, 1.0)))
+
+    best_fused = _best_time(run_fused, reps=2)
     return {
         "metric": "spectral_morph_x_realtime_60s_stereo",
         "value": round(seconds / best, 2),
         "unit": "x_realtime",
+        "fused_x_realtime": round(seconds / best_fused, 2),
     }
 
 

@@ -2,20 +2,36 @@
 
 XLA's TPU FFT lowering runs at ~27 Gflops on this chip (9.4 us per
 4096-point transform) - two orders of magnitude below the MXU's matmul
-throughput. For power-of-two sizes used by the phase vocoder, a two-stage
-Cooley-Tukey factorization n = a*b turns each (i)rFFT into a pair of small
-dense DFT matmuls plus a twiddle multiply, all expressed in real arithmetic
+throughput. For the even sizes used by the phase vocoder, each (i)rFFT is
+computed as a half-length complex FFT (even/odd packing) whose two
+Cooley-Tukey stages are *block-complex* matmuls, all in real arithmetic
 (large 1-D complex ops are unimplemented on this backend; see
 flan_tpu.audio.filters).
+
+Design notes (round 2 headline rework):
+
+* Block-complex matmul: a complex product Z = X W is one real einsum
+  [..., 2K] x [2K, 2N] with W packed as [[Wr, Wi], [-Wi, Wr]] instead of
+  four real einsums. For n=4096 (m=2048, a=64) the stage-1 block matrix is
+  exactly [128, 128] - a perfect MXU tile - where the previous four-einsum
+  form ran 64-wide contractions that padded 4x on the systolic array.
+
+* Even/odd packing: rfft of real x[0..n) = complex FFT of
+  z[j] = x[2j] + i x[2j+1] of length m = n/2 plus an O(n) elementwise
+  untangle (the standard split: X[k] = E[k] + W^k O[k] with
+  E = (Z[k]+conj(Z[m-k]))/2, O = (Z[k]-conj(Z[m-k]))/2i). The irfft is the
+  exact mirror (repack bins into Z, inverse complex FFT, deinterleave).
+  Halves the transform length on top of the block-matmul win; measured
+  together they cut the padded MXU work ~8x per frame vs the round-1 form.
 
 rfft_mxu/irfft_mxu are drop-in (batched, last axis) replacements validated
 against numpy to float32 precision in tests/test_mxu_fft.py.
 
-Derivation (decimation in time), n = a*b, input index n1*b + n2, output
-index k1 + a*k2 with n1,k1 in [0,a), n2,k2 in [0,b):
-    stage 1: A[n2, k1] = sum_n1 x[n1*b + n2] * Wa^(n1*k1)     (DFT-a)
-    twiddle: B[n2, k1] = A[n2, k1] * Wn^(n2*k1)
-    stage 2: X[k1 + a*k2] = sum_n2 B[n2, k1] * Wb^(n2*k2)     (DFT-b)
+Two-stage Cooley-Tukey derivation (decimation in time), m = a*b, input
+index n1*b + n2, output index k1 + a*k2 with n1,k1 in [0,a), n2,k2 in [0,b):
+    stage 1: A[n2, k1] = sum_n1 z[n1*b + n2] * Wa^(n1*k1)     (DFT-a)
+    twiddle: B[n2, k1] = A[n2, k1] * Wm^(n2*k1)
+    stage 2: Z[k1 + a*k2] = sum_n2 B[n2, k1] * Wb^(n2*k2)     (DFT-b)
 """
 from __future__ import annotations
 
@@ -29,11 +45,12 @@ import numpy as np
 # TPU matmuls at DEFAULT precision truncate f32 operands to bfloat16
 # (~8 mantissa bits), which degrades FFT output to ~51 dB SNR on real
 # hardware (fine on CPU where DEFAULT is full f32 - which is why tests
-# alone never caught it). Measured on one v5e chip, 4096-point rfft of
-# [4, 256] frames vs numpy: DEFAULT 51.3 dB / 7.2 ms, HIGH (bf16x3 passes)
-# 94.2 dB / 6.5 ms, HIGHEST (full f32, 6 passes) 138.1 dB / 9.8 ms.
-# HIGH clears the >90 dB target at 2/3 the HIGHEST cost, so it is the
-# default; flip to HIGHEST for measurement-grade transforms.
+# alone never caught it). Measured on one v5e chip, 4096-point transforms
+# of [4, 256] frames vs numpy at HIGH (bf16x3 passes): 95.4 dB SNR both
+# directions in the block-complex form (round-1 four-einsum form: DEFAULT
+# 51.3 dB, HIGH 94.2 dB, HIGHEST 138.1 dB at 1.5x the HIGH cost). HIGH
+# clears the >90 dB target; flip to HIGHEST for measurement-grade
+# transforms.
 _PRECISION = jax.lax.Precision.HIGH
 
 
@@ -43,59 +60,67 @@ def _split(n: int):
     return a, n // a
 
 
+def _block(mr: np.ndarray, mi: np.ndarray) -> np.ndarray:
+    """Real block form of a complex matrix: [x_r x_i] @ block = [z_r z_i]
+    stacked along the contraction axis."""
+    top = np.concatenate([mr, mi], axis=1)
+    bot = np.concatenate([-mi, mr], axis=1)
+    return np.concatenate([top, bot], axis=0).astype(np.float32)
+
+
 @functools.cache
-def _matrices_np(n: int):
-    a, b = _split(n)
-    n1 = np.arange(a)
-    k1 = np.arange(a)
-    dft_a = np.exp(-2j * np.pi * np.outer(n1, k1) / a)        # [n1, k1]
-    n2 = np.arange(b)
-    k2 = np.arange(b)
-    dft_b = np.exp(-2j * np.pi * np.outer(n2, k2) / b)        # [n2, k2]
-    tw = np.exp(-2j * np.pi * np.outer(n2, np.arange(a)) / n)  # [n2, k1]
-    f32 = lambda m: np.ascontiguousarray(m.astype(np.float32))
-    return (f32(dft_a.real), f32(dft_a.imag), f32(dft_b.real),
-            f32(dft_b.imag), f32(tw.real), f32(tw.imag))
+def _cfft_mats_np(m: int, inverse: bool):
+    """Block stage matrices + twiddles for a complex FFT of length m.
+
+    The inverse uses conjugated matrices with the 1/m normalization folded
+    into the stage-2 matrix (a free rescale of constant weights).
+    """
+    a, b = _split(m)
+    s = 2j * np.pi if inverse else -2j * np.pi
+    dft_a = np.exp(s * np.outer(np.arange(a), np.arange(a)) / a)
+    dft_b = np.exp(s * np.outer(np.arange(b), np.arange(b)) / b)
+    if inverse:
+        dft_b = dft_b / m
+    tw = np.exp(s * np.outer(np.arange(b), np.arange(a)) / m)  # [n2, k1]
+    f32 = lambda x: np.ascontiguousarray(x.astype(np.float32))
+    return (_block(dft_a.real, dft_a.imag), _block(dft_b.real, dft_b.imag),
+            f32(tw.real), f32(tw.imag))
 
 
-def _matrices(n: int):
-    # numpy is cached; conversion happens per trace so no tracer leaks
-    return tuple(jnp.asarray(m) for m in _matrices_np(n))
-
-
-def _fft_full_real_input(x: jnp.ndarray, n: int):
-    """Full complex DFT of real x [..., n] -> (re, im) each [..., n],
-    output index k1 + a*k2."""
-    a, b = _split(n)
-    ar, ai, br, bi, twr, twi = _matrices(n)
-    xs = x.reshape(x.shape[:-1] + (a, b))           # [..., n1, n2]
-    # stage 1 over n1: A[n2, k1]
-    s1r = jnp.einsum("...nm,nk->...mk", xs, ar,
-                     preferred_element_type=jnp.float32,
-                     precision=_PRECISION)
-    s1i = jnp.einsum("...nm,nk->...mk", xs, ai,
-                     preferred_element_type=jnp.float32,
-                     precision=_PRECISION)
-    # twiddle [n2, k1]
+def _cfft(zr: jnp.ndarray, zi: jnp.ndarray, m: int, inverse: bool):
+    """Complex FFT of (zr, zi) [..., m] -> (Zr, Zi) [..., m]."""
+    a, b = _split(m)
+    ablk, bblk, twr, twi = (jnp.asarray(x) for x in _cfft_mats_np(m, inverse))
+    xs = jnp.concatenate(
+        [zr.reshape(zr.shape[:-1] + (a, b)),
+         zi.reshape(zi.shape[:-1] + (a, b))], axis=-2)     # [..., 2a, b]
+    # stage 1 over n1 (block-complex): [..., b, 2a] = (s1r | s1i)
+    s1 = jnp.einsum("...nm,nk->...mk", xs, ablk,
+                    preferred_element_type=jnp.float32,
+                    precision=_PRECISION)
+    s1r, s1i = s1[..., :a], s1[..., a:]
     t_r = s1r * twr - s1i * twi
     t_i = s1r * twi + s1i * twr
-    # stage 2 over n2: X[k1, k2]
-    xr = (jnp.einsum("...mk,ml->...kl", t_r, br,
-                     preferred_element_type=jnp.float32,
-                     precision=_PRECISION)
-          - jnp.einsum("...mk,ml->...kl", t_i, bi,
-                       preferred_element_type=jnp.float32,
-                     precision=_PRECISION))
-    xi = (jnp.einsum("...mk,ml->...kl", t_r, bi,
-                     preferred_element_type=jnp.float32,
-                     precision=_PRECISION)
-          + jnp.einsum("...mk,ml->...kl", t_i, br,
-                       preferred_element_type=jnp.float32,
-                     precision=_PRECISION))
-    # output index k = k1 + a*k2 -> [..., k2, k1] reshape gives k-major
-    xr = jnp.swapaxes(xr, -1, -2).reshape(x.shape[:-1] + (n,))
-    xi = jnp.swapaxes(xi, -1, -2).reshape(x.shape[:-1] + (n,))
-    return xr, xi
+    tb = jnp.concatenate([t_r, t_i], axis=-2)              # [..., 2b, a]
+    # stage 2 over n2 (block-complex): [..., a, 2b] = (Zr | Zi) over k2
+    s2 = jnp.einsum("...mk,ml->...kl", tb, bblk,
+                    preferred_element_type=jnp.float32,
+                    precision=_PRECISION)
+    # output index k = k1 + a*k2 -> [k2, k1]-major reshape
+    shp = zr.shape[:-1] + (m,)
+    z2r = jnp.swapaxes(s2[..., :b], -1, -2).reshape(shp)
+    z2i = jnp.swapaxes(s2[..., b:], -1, -2).reshape(shp)
+    return z2r, z2i
+
+
+@functools.cache
+def _half_twiddles_np(n: int, inverse: bool):
+    """W^{-+k} for the even/odd untangle, k = 0..n/2."""
+    k = np.arange(n // 2 + 1)
+    s = 2j * np.pi if inverse else -2j * np.pi
+    w = np.exp(s * k / n)
+    return (np.ascontiguousarray(w.real.astype(np.float32)),
+            np.ascontiguousarray(w.imag.astype(np.float32)))
 
 
 def rfft_mxu(x: jnp.ndarray, n: int):
@@ -106,33 +131,106 @@ def rfft_mxu(x: jnp.ndarray, n: int):
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - m)])
     elif m > n:
         x = x[..., :n]
-    re, im = _fft_full_real_input(x, n)
-    return re[..., : n // 2 + 1], im[..., : n // 2 + 1]
+    if n % 2 or n < 4:
+        re, im = _fft_full_real_input(x, n)
+        return re[..., : n // 2 + 1], im[..., : n // 2 + 1]
+    h = n // 2
+    packed = x.reshape(x.shape[:-1] + (h, 2))
+    zr, zi = _cfft(packed[..., 0], packed[..., 1], h, inverse=False)
+    # untangle: E = (Z[k] + conj(Z[m-k]))/2, O = (Z[k] - conj(Z[m-k]))/2i,
+    # X[k] = E[k] + W^k O[k] for k = 0..h (Z indices mod h)
+    zer = jnp.concatenate([zr, zr[..., :1]], axis=-1)           # k = 0..h
+    zei = jnp.concatenate([zi, zi[..., :1]], axis=-1)
+    zvr = jnp.concatenate(
+        [zr[..., :1], jnp.flip(zr[..., 1:], -1), zr[..., :1]], axis=-1)
+    zvi = jnp.concatenate(
+        [zi[..., :1], jnp.flip(zi[..., 1:], -1), zi[..., :1]], axis=-1)
+    e_r = 0.5 * (zer + zvr)
+    e_i = 0.5 * (zei - zvi)
+    o_r = 0.5 * (zei + zvi)        # (N_r + i N_i)/2i = (N_i - i N_r)/2
+    o_i = -0.5 * (zer - zvr)
+    wr, wi = (jnp.asarray(w) for w in _half_twiddles_np(n, inverse=False))
+    x_r = e_r + wr * o_r - wi * o_i
+    x_i = e_i + wr * o_i + wi * o_r
+    return x_r, x_i
 
 
 def irfft_mxu(re: jnp.ndarray, im: jnp.ndarray, n: int) -> jnp.ndarray:
     """Inverse real FFT from hermitian half-spectrum (re, im)
     [..., n//2+1] -> real [..., n].
 
-    Uses conj symmetry: x = (1/n) * Re(DFT(conj(spectrum))) where the full
-    spectrum is rebuilt by mirroring; the forward machinery is reused on
-    the real and imaginary planes separately:
-        x[t] = (1/n) [ DFT(Re S)[t]_re + DFT(Im S)[t]_im ]  ... derived:
-    ifft(S)[t] = (1/n) conj(DFT(conj(S)))[t]; for real output
-    x = (1/n) (C[t] + D[t]) with C = DFT(Sr)_re, D = DFT(Si)_im.
+    Mirror of rfft_mxu's packing: rebuild the half-length complex spectrum
+    Z[k] = E[k] + i O[k] with E = (S[k]+conj(S[h-k]))/2 and
+    O = W^{-k} (S[k]-conj(S[h-k]))/2, inverse complex FFT of length h,
+    then deinterleave x[2j] = Re z[j], x[2j+1] = Im z[j].
     """
-    nbins = n // 2 + 1
-    # rebuild full spectrum by hermitian mirror
+    if n % 2 or n < 4:
+        return _irfft_mirror(re, im, n)
+    h = n // 2
+    st_r, st_i = re[..., :h], im[..., :h]
+    sv_r = jnp.flip(re[..., 1:], -1)          # S[h-k], k = 0..h-1
+    sv_i = jnp.flip(im[..., 1:], -1)
+    e_r = 0.5 * (st_r + sv_r)
+    e_i = 0.5 * (st_i - sv_i)
+    d_r = 0.5 * (st_r - sv_r)
+    d_i = 0.5 * (st_i + sv_i)
+    wr, wi = (jnp.asarray(w) for w in _half_twiddles_np(n, inverse=True))
+    o_r = d_r * wr[:h] - d_i * wi[:h]
+    o_i = d_r * wi[:h] + d_i * wr[:h]
+    z_r = e_r - o_i                            # Z = E + i O
+    z_i = e_i + o_r
+    xr, xi = _cfft(z_r, z_i, h, inverse=True)
+    out = jnp.stack([xr, xi], axis=-1)
+    return out.reshape(re.shape[:-1] + (n,))
+
+
+# ---------------------------------------------------------------------------
+# Fallback full-length real-input DFT (odd/tiny n only). Same two-stage
+# Cooley-Tukey factorization without the even/odd packing.
+
+
+@functools.cache
+def _matrices_np(n: int):
+    a, b = _split(n)
+    dft_a = np.exp(-2j * np.pi * np.outer(np.arange(a), np.arange(a)) / a)
+    dft_b = np.exp(-2j * np.pi * np.outer(np.arange(b), np.arange(b)) / b)
+    tw = np.exp(-2j * np.pi * np.outer(np.arange(b), np.arange(a)) / n)
+    f32 = lambda x: np.ascontiguousarray(x.astype(np.float32))
+    return (f32(dft_a.real), f32(dft_a.imag), f32(dft_b.real),
+            f32(dft_b.imag), f32(tw.real), f32(tw.imag))
+
+
+def _fft_full_real_input(x: jnp.ndarray, n: int):
+    """Full complex DFT of real x [..., n] -> (re, im) each [..., n]."""
+    a, b = _split(n)
+    ar, ai, br, bi, twr, twi = (jnp.asarray(m) for m in _matrices_np(n))
+    xs = x.reshape(x.shape[:-1] + (a, b))
+    s1r = jnp.einsum("...nm,nk->...mk", xs, ar,
+                     preferred_element_type=jnp.float32,
+                     precision=_PRECISION)
+    s1i = jnp.einsum("...nm,nk->...mk", xs, ai,
+                     preferred_element_type=jnp.float32,
+                     precision=_PRECISION)
+    t_r = s1r * twr - s1i * twi
+    t_i = s1r * twi + s1i * twr
+    tb = jnp.concatenate([t_r, t_i], axis=-2)
+    bblk = jnp.asarray(_block(np.asarray(_matrices_np(n)[2]),
+                              np.asarray(_matrices_np(n)[3])))
+    s2 = jnp.einsum("...mk,ml->...kl", tb, bblk,
+                    preferred_element_type=jnp.float32,
+                    precision=_PRECISION)
+    shp = x.shape[:-1] + (n,)
+    xr = jnp.swapaxes(s2[..., :b], -1, -2).reshape(shp)
+    xi = jnp.swapaxes(s2[..., b:], -1, -2).reshape(shp)
+    return xr, xi
+
+
+def _irfft_mirror(re: jnp.ndarray, im: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Hermitian-mirror irfft via two full real-input DFTs (fallback)."""
     mid_r = re[..., 1:-1]
     mid_i = im[..., 1:-1]
     full_r = jnp.concatenate([re, mid_r[..., ::-1]], axis=-1)
     full_i = jnp.concatenate([im, -mid_i[..., ::-1]], axis=-1)
-    # DFT of the real plane and of the imaginary plane
-    cr, ci = _fft_full_real_input(full_r, n)
-    dr, di = _fft_full_real_input(full_i, n)
-    # ifft real part: (1/n) * (Re DFT(Sr) + Im DFT(Si)) evaluated with the
-    # forward kernel (W^-1 = conj): Re part uses +, derived via
-    # x[t] = (1/n) sum_k (Sr + i Si) W^{+tk}; W^{+tk} = conj(W^{-tk})
-    # Re x[t] = (1/n) sum_k [Sr cos(2pi tk/n) - Si sin(2pi tk/n)]
-    #          = (1/n) (cr[t] + di[t])
+    cr, _ = _fft_full_real_input(full_r, n)
+    _, di = _fft_full_real_input(full_i, n)
     return (cr + di) / n
