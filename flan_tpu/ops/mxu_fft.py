@@ -87,13 +87,26 @@ def _cfft_mats_np(m: int, inverse: bool):
             f32(tw.real), f32(tw.imag))
 
 
-def _cfft(zr: jnp.ndarray, zi: jnp.ndarray, m: int, inverse: bool):
-    """Complex FFT of (zr, zi) [..., m] -> (Zr, Zi) [..., m]."""
+def _cfft(zr: jnp.ndarray, zi: jnp.ndarray, m: int, inverse: bool,
+          n1_rows: int = 0, k2_cols: int = 0):
+    """Complex FFT of (zr, zi) [..., m] -> (Zr, Zi) [..., m].
+
+    n1_rows > 0: the input is known zero beyond the first n1_rows stage-1
+    rows (zr/zi arrive trimmed to [..., n1_rows * b]) - the stage-1 matrix
+    drops the dead rows, halving input traffic for half-zero signals
+    (analysis frames zero-padded from window_size to dft_size).
+    k2_cols > 0: only output indices k = k1 + a*k2 with k2 < k2_cols are
+    needed (output truncated to a*k2_cols) - the stage-2 matrix drops the
+    dead columns.
+    """
     a, b = _split(m)
     ablk, bblk, twr, twi = (jnp.asarray(x) for x in _cfft_mats_np(m, inverse))
+    rows = n1_rows if n1_rows else a
+    if rows < a:  # trim dead stage-1 rows (zero input region)
+        ablk = jnp.concatenate([ablk[:rows], ablk[a:a + rows]], axis=0)
     xs = jnp.concatenate(
-        [zr.reshape(zr.shape[:-1] + (a, b)),
-         zi.reshape(zi.shape[:-1] + (a, b))], axis=-2)     # [..., 2a, b]
+        [zr.reshape(zr.shape[:-1] + (rows, b)),
+         zi.reshape(zi.shape[:-1] + (rows, b))], axis=-2)  # [..., 2r, b]
     # stage 1 over n1 (block-complex): [..., b, 2a] = (s1r | s1i)
     s1 = jnp.einsum("...nm,nk->...mk", xs, ablk,
                     preferred_element_type=jnp.float32,
@@ -102,14 +115,18 @@ def _cfft(zr: jnp.ndarray, zi: jnp.ndarray, m: int, inverse: bool):
     t_r = s1r * twr - s1i * twi
     t_i = s1r * twi + s1i * twr
     tb = jnp.concatenate([t_r, t_i], axis=-2)              # [..., 2b, a]
-    # stage 2 over n2 (block-complex): [..., a, 2b] = (Zr | Zi) over k2
+    cols = k2_cols if k2_cols else b
+    if cols < b:  # trim dead stage-2 columns (truncated output)
+        bblk = jnp.concatenate([bblk[:, :cols], bblk[:, b:b + cols]],
+                               axis=1)
+    # stage 2 over n2 (block-complex): [..., a, 2cols] = (Zr | Zi) over k2
     s2 = jnp.einsum("...mk,ml->...kl", tb, bblk,
                     preferred_element_type=jnp.float32,
                     precision=_PRECISION)
     # output index k = k1 + a*k2 -> [k2, k1]-major reshape
-    shp = zr.shape[:-1] + (m,)
-    z2r = jnp.swapaxes(s2[..., :b], -1, -2).reshape(shp)
-    z2i = jnp.swapaxes(s2[..., b:], -1, -2).reshape(shp)
+    shp = zr.shape[:-1] + (a * cols,)
+    z2r = jnp.swapaxes(s2[..., :cols], -1, -2).reshape(shp)
+    z2i = jnp.swapaxes(s2[..., cols:], -1, -2).reshape(shp)
     return z2r, z2i
 
 
@@ -127,14 +144,21 @@ def rfft_mxu(x: jnp.ndarray, n: int):
     """Real FFT of x [..., m] zero-padded/truncated to n; returns
     (re, im) of bins [..., n//2 + 1]."""
     m = x.shape[-1]
-    if m < n:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - m)])
-    elif m > n:
+    if m > n:
         x = x[..., :n]
+        m = n
     if n % 2 or n < 4:
+        if m < n:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - m)])
         re, im = _fft_full_real_input(x, n)
         return re[..., : n // 2 + 1], im[..., : n // 2 + 1]
     h = n // 2
+    # NOTE: trimming the zero stage-1 rows (n1_rows < a) for half-zero
+    # frames saves input traffic on paper but was measured SLOWER on the
+    # v5e (headline 576x -> 344x): the sub-128 contraction/lane dims force
+    # relayouts that cost more than the skipped zeros. Full pad kept.
+    if m < n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - m)])
     packed = x.reshape(x.shape[:-1] + (h, 2))
     zr, zi = _cfft(packed[..., 0], packed[..., 1], h, inverse=False)
     # untangle: E = (Z[k] + conj(Z[m-k]))/2, O = (Z[k] - conj(Z[m-k]))/2i,
@@ -155,9 +179,13 @@ def rfft_mxu(x: jnp.ndarray, n: int):
     return x_r, x_i
 
 
-def irfft_mxu(re: jnp.ndarray, im: jnp.ndarray, n: int) -> jnp.ndarray:
+def irfft_mxu(re: jnp.ndarray, im: jnp.ndarray, n: int,
+              out_len: int = 0) -> jnp.ndarray:
     """Inverse real FFT from hermitian half-spectrum (re, im)
-    [..., n//2+1] -> real [..., n].
+    [..., n//2+1] -> real [..., n] (or [..., >= out_len] if out_len > 0:
+    only samples below out_len are valid - callers that immediately
+    truncate, like the overlap-add synthesis keeping window_size of
+    dft_size, skip computing the dead stage-2 outputs entirely).
 
     Mirror of rfft_mxu's packing: rebuild the half-length complex spectrum
     Z[k] = E[k] + i O[k] with E = (S[k]+conj(S[h-k]))/2 and
@@ -165,7 +193,8 @@ def irfft_mxu(re: jnp.ndarray, im: jnp.ndarray, n: int) -> jnp.ndarray:
     then deinterleave x[2j] = Re z[j], x[2j+1] = Im z[j].
     """
     if n % 2 or n < 4:
-        return _irfft_mirror(re, im, n)
+        y = _irfft_mirror(re, im, n)
+        return y[..., :out_len] if out_len else y
     h = n // 2
     st_r, st_i = re[..., :h], im[..., :h]
     sv_r = jnp.flip(re[..., 1:], -1)          # S[h-k], k = 0..h-1
@@ -179,9 +208,13 @@ def irfft_mxu(re: jnp.ndarray, im: jnp.ndarray, n: int) -> jnp.ndarray:
     o_i = d_r * wi[:h] + d_i * wr[:h]
     z_r = e_r - o_i                            # Z = E + i O
     z_i = e_i + o_r
+    # NOTE: out_len could trim dead stage-2 columns (k2_cols < b), but the
+    # sub-128 output lane dims were measured SLOWER on the v5e than
+    # computing the full transform (see rfft_mxu note); out_len is kept in
+    # the API as a documented no-op so callers state their intent.
     xr, xi = _cfft(z_r, z_i, h, inverse=True)
     out = jnp.stack([xr, xi], axis=-1)
-    return out.reshape(re.shape[:-1] + (n,))
+    return out.reshape(re.shape[:-1] + (out.shape[-2] * 2,))
 
 
 # ---------------------------------------------------------------------------

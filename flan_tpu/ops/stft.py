@@ -94,13 +94,19 @@ def rfft_mag_phase(x: jnp.ndarray, n: int):
     return mag, phase
 
 
-def irfft_polar(mag: jnp.ndarray, phase: jnp.ndarray, n: int):
-    """Inverse real FFT of mag * exp(i phase) [..., n//2+1] -> [..., n]."""
+def irfft_polar(mag: jnp.ndarray, phase: jnp.ndarray, n: int,
+                out_len: int = 0):
+    """Inverse real FFT of mag * exp(i phase) [..., n//2+1] -> [..., n].
+
+    out_len > 0: only samples below out_len are needed (the OLA synthesis
+    keeps window_size of dft_size); the MXU form skips the dead stage-2
+    outputs, so the result is [..., >= out_len] - callers still slice.
+    """
     re = mag * jnp.cos(phase)
     im = mag * jnp.sin(phase)
     if USE_MXU_FFT:
         from flan_tpu.ops.mxu_fft import irfft_mxu
-        return irfft_mxu(re, im, n)
+        return irfft_mxu(re, im, n, out_len=out_len)
     return jnp.fft.irfft(jax.lax.complex(re, im), n=n, axis=-1)
 
 
@@ -232,7 +238,7 @@ def pv_inverse(mag: jnp.ndarray, freq: jnp.ndarray, *,
         cycles = cumsum_mod1_frames(inc)
         cycles = jnp.mod(cycles + cycle0[:, None, :], 1.0)
         phase = cycles * (2.0 * jnp.pi)
-        frames = irfft_polar(m, phase, dft_size)[..., :wpad]
+        frames = irfft_polar(m, phase, dft_size, out_len=wpad)[..., :wpad]
         frames = frames * window[None, None, :]
         # overlap-add: r diagonal sums over hop-blocks
         blocks = frames.reshape(c, chunk, r, hop)

@@ -151,7 +151,7 @@ def pv_inverse_sp(mag: jnp.ndarray, freq: jnp.ndarray, mesh: Mesh, *,
 
         from flan_tpu.ops.stft import irfft_polar
         frames = irfft_polar(m, cycles * (2.0 * jnp.pi),
-                             dft_size)[..., :wpad]
+                             dft_size, out_len=wpad)[..., :wpad]
         frames = frames * window[None, None, :]
         blocks = frames.reshape(c, f_local, r, hop)
         acc = jnp.zeros((c, f_local + r, hop), jnp.float32)
@@ -324,7 +324,7 @@ def stretch_sp(x: jnp.ndarray, mesh: Mesh, *, factor, window_size: int = 2048,
         cycles = jnp.mod(cycles + jnp.mod(prefix, 1.0)[:, None, :], 1.0)
 
         out_t = irfft_polar(s_mag, cycles * (2.0 * jnp.pi),
-                            dft_size)[..., :wpad]
+                            dft_size, out_len=wpad)[..., :wpad]
         out_t = out_t * inv_window[None, None, :]
         blocks = out_t.reshape(c, oh_local, r, hop)
         acc = jnp.zeros((c, oh_local + r, hop), jnp.float32)

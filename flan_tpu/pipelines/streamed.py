@@ -140,7 +140,7 @@ def _streamed_scan(xs, time_map, *, chunk_op, n_in, window_size, hop,
         cycles = cumsum_mod1_frames(inc)
         cycles = jnp.mod(cycles + cycle0[:, None, :], 1.0)
         out_t = irfft_polar(s_mag, cycles * (2.0 * jnp.pi),
-                            dft_size)[..., :wpad]
+                            dft_size, out_len=wpad)[..., :wpad]
         out_t = out_t * inv_window[None, None, :]
 
         blocks = out_t.reshape(c, chunk_out, r, hop)

@@ -1,0 +1,68 @@
+"""Differentiability through the PV compute path.
+
+The reference (C++) cannot do this at all; in this rebuild every device op
+(STFT, mod-1 phase scans, searchsorted remap gathers, OLA) is a JAX
+program, so gradients flow end to end - usable for optimization-based
+audio tasks (matching EQ, differentiable resynthesis, style transfer)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+SR = 8000.0
+
+
+def _sine(seconds=0.5, freq=440.0):
+    t = np.arange(int(seconds * SR), dtype=np.float32) / SR
+    return jnp.asarray((0.5 * np.sin(2 * np.pi * freq * t))[None])
+
+
+def test_grad_through_fused_stretch_pipeline():
+    from flan_tpu.pipelines import pv_stretch_pipeline
+    x = _sine()
+
+    def loss(v):
+        y = pv_stretch_pipeline(v, 2.0, window_size=512, hop=64,
+                                dft_size=512, sample_rate=SR)
+        return jnp.sum(y * y)
+
+    g = jax.grad(loss)(x)
+    assert g.shape == x.shape
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).max()) > 0
+    # forward-mode (jvp) and reverse-mode (vjp) directional derivatives
+    # must agree. A finite-difference check is not meaningful here: the
+    # phase-wrap rounds make the loss piecewise-smooth, so FD at any eps
+    # crosses wrap boundaries (measured: FD never converges while
+    # jvp == vjp to 5 digits).
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.standard_normal(x.shape).astype(np.float32))
+    d = d / jnp.sqrt(jnp.sum(d * d))
+    analytic = float(jnp.sum(g * d))
+    fwd = float(jax.jvp(loss, (x,), (d,))[1])
+    assert abs(fwd - analytic) < 1e-3 * max(abs(analytic), 1.0)
+
+
+def test_grad_through_pv_forward_magnitudes():
+    from flan_tpu.ops import stft
+    x = _sine()
+
+    def loss(v):
+        mag, _ = stft.pv_forward(v, window_size=512, hop=64, dft_size=512,
+                                 sample_rate=SR)
+        # bins around the 440 Hz peak (bin ~28): mag is large there, so
+        # sqrt is smooth and a finite difference is meaningful (near-zero
+        # bins sit on the |.| cone where FD and the a.e. gradient differ)
+        return jnp.sum(mag[:, :, 24:33])
+
+    g = jax.grad(loss)(x)
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).max()) > 0
+    # magnitudes are smooth in the input (no phase wraps), so a
+    # directional finite difference must match the analytic gradient
+    rng = np.random.default_rng(1)
+    d = jnp.asarray(rng.standard_normal(x.shape).astype(np.float32))
+    d = d / jnp.sqrt(jnp.sum(d * d))
+    eps = 1e-2
+    fd = float((loss(x + eps * d) - loss(x - eps * d)) / (2 * eps))
+    analytic = float(jnp.sum(g * d))
+    assert abs(fd - analytic) < 0.02 * max(abs(analytic), 1.0)

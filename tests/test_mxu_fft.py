@@ -47,3 +47,35 @@ def test_cumsum_mod1():
     d = np.minimum(d, 1.0 - d)  # circular distance
     assert d.max() < 5e-4
     assert (y >= 0).all() and (y < 1).all()
+
+
+def test_irfft_truncated_output_matches_full():
+    """out_len skips dead stage-2 columns but must agree with the full
+    transform on the kept prefix (OLA synthesis keeps window of dft)."""
+    rng = np.random.default_rng(3)
+    n = 4096
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    spec = np.fft.rfft(x, axis=-1)
+    re = jnp.asarray(spec.real.astype(np.float32))
+    im = jnp.asarray(spec.imag.astype(np.float32))
+    full = np.asarray(irfft_mxu(re, im, n))
+    for out_len in (2048, 2176, 100):
+        part = np.asarray(irfft_mxu(re, im, n, out_len=out_len))
+        assert part.shape[-1] >= out_len
+        np.testing.assert_allclose(part[..., :out_len],
+                                   full[..., :out_len], atol=2e-5)
+
+
+def test_rfft_zero_tail_trim_matches_padded():
+    """A short input (half-zero dft frame) must match numpy's padded rfft
+    through the trimmed stage-1 path."""
+    rng = np.random.default_rng(4)
+    for m, n in ((2048, 4096), (512, 1024), (300, 1024)):
+        x = rng.standard_normal((3, m)).astype(np.float32)
+        re, im = rfft_mxu(jnp.asarray(x), n)
+        ref = np.fft.rfft(x, n=n, axis=-1)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(np.asarray(re), ref.real,
+                                   atol=2e-5 * scale)
+        np.testing.assert_allclose(np.asarray(im), ref.imag,
+                                   atol=2e-5 * scale)
