@@ -62,3 +62,37 @@ def test_sp_roundtrip_reconstructs(mesh):
     b = np.asarray(y[0, guard:n - guard])
     rel = np.sqrt(((a - b) ** 2).mean()) / np.sqrt((a ** 2).mean())
     assert rel < 0.05
+
+
+def test_map_sharded_batch_matches_per_clip(mesh):
+    """Data-parallel batch map equals per-clip application; 5 clips of
+    mixed lengths over 8 devices (padding clips + batch)."""
+    from flan_tpu.parallel.batch import map_sharded
+    from flan_tpu.pipelines import pv_stretch_pipeline
+    rng = np.random.default_rng(2)
+    clips = [jnp.asarray(rng.standard_normal(
+        (1, HOP * (40 + 8 * i))).astype(np.float32) * 0.3)
+        for i in range(5)]
+    fn = lambda x: pv_stretch_pipeline(
+        x, 2.0, window_size=WINDOW, hop=HOP, dft_size=DFT, sample_rate=SR)
+    outs = map_sharded(fn, clips, mesh=mesh)
+    assert len(outs) == 5
+    n = max(int(c.shape[-1]) for c in clips)
+    for clip, out in zip(clips, outs):
+        pad = jnp.pad(clip, [(0, 0), (0, n - int(clip.shape[-1]))])
+        ref = fn(pad)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
+
+
+def test_stretch_batch_convenience(mesh):
+    from flan_tpu.parallel.batch import stretch_batch
+    rng = np.random.default_rng(3)
+    clips = [jnp.asarray(rng.standard_normal((1, HOP * 48)).astype(
+        np.float32) * 0.3) for _ in range(3)]
+    outs = stretch_batch(clips, 2.0, mesh=mesh, window_size=WINDOW,
+                         hop=HOP, dft_size=DFT, sample_rate=SR)
+    assert len(outs) == 3
+    for out, clip in zip(outs, clips):
+        assert out.shape[-1] >= 2 * clip.shape[-1] - 4 * HOP
+        assert np.isfinite(np.asarray(out)).all()
