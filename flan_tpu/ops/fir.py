@@ -111,7 +111,10 @@ def impulse_response(run_data: Callable[[jnp.ndarray], jnp.ndarray],
         if tail <= eps * max(peak, 1e-20):
             if cache_key is not None:
                 _IR_CACHE[cache_key] = (k, h)
-            return h
+            # same gate as the cache-hit path: K can overshoot max_len when
+            # the last doubling crosses it (k doubles past non-power-of-two
+            # max_len), and then the FIR holds no advantage for THIS signal
+            return h if h.shape[0] <= max_len else None
         if k >= max_len:
             if cache_key is not None:
                 _IR_CACHE[cache_key] = (k, None)

@@ -55,8 +55,15 @@ _PRECISION = jax.lax.Precision.HIGH
 
 
 def _split(n: int):
-    """Factor n = a*b with a, b near sqrt(n) (both powers of two)."""
+    """Factor n = a*b with the power-of-two a near sqrt(n).
+
+    When no such a divides n (odd n, or sizes like 5 whose power-of-two
+    near-sqrt doesn't divide them), falls back to (1, n): stage 1 becomes
+    the identity and stage 2 a dense DFT-n - correct for every n, just not
+    MXU-tiled. All phase-vocoder sizes are powers of two."""
     a = 1 << (int(math.log2(n)) // 2)
+    while a > 1 and n % a:
+        a >>= 1
     return a, n // a
 
 
@@ -260,8 +267,9 @@ def _fft_full_real_input(x: jnp.ndarray, n: int):
 
 def _irfft_mirror(re: jnp.ndarray, im: jnp.ndarray, n: int) -> jnp.ndarray:
     """Hermitian-mirror irfft via two full real-input DFTs (fallback)."""
-    mid_r = re[..., 1:-1]
-    mid_i = im[..., 1:-1]
+    hi = n // 2 + 1 if n % 2 else n // 2  # odd n has no Nyquist bin
+    mid_r = re[..., 1:hi]
+    mid_i = im[..., 1:hi]
     full_r = jnp.concatenate([re, mid_r[..., ::-1]], axis=-1)
     full_i = jnp.concatenate([im, -mid_i[..., ::-1]], axis=-1)
     cr, _ = _fft_full_real_input(full_r, n)

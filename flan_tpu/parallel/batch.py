@@ -51,8 +51,17 @@ def map_sharded(fn: Callable, clips: Sequence[jnp.ndarray],
         + [jnp.zeros((c, n), jnp.float32)] * (bpad - batch))
     stacked = jax.device_put(
         stacked, batch_sharding(mesh, axis_name=mesh.axis_names[0]))
-    out = jax.jit(jax.vmap(fn))(stacked)
+    out = _jitted_vmap(fn)(stacked)
     return [out[i] for i in range(batch)]
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_vmap(fn: Callable):
+    """jit(vmap(fn)) cached on the transform object: a fresh jit wrapper
+    per call would retrace every map_sharded invocation (compiles cost
+    minutes per shape through the remote tunnel). Callers reusing the same
+    function object across batches hit the jit cache."""
+    return jax.jit(jax.vmap(fn))
 
 
 def stretch_batch(clips: Sequence[jnp.ndarray], factor: float, *,
@@ -61,9 +70,18 @@ def stretch_batch(clips: Sequence[jnp.ndarray], factor: float, *,
                   sample_rate: float = 48000.0) -> list:
     """Data-parallel fused PV stretch of a batch of clips: the flagship
     pipeline vmapped over the sharded batch axis."""
+    fn = _stretch_fn(float(factor), window_size, hop, dft_size,
+                     float(sample_rate))
+    return map_sharded(fn, clips, mesh=mesh)
+
+
+@functools.lru_cache(maxsize=64)
+def _stretch_fn(factor, window_size, hop, dft_size, sample_rate):
+    """Per-parameter stretch closure, cached so repeated stretch_batch
+    calls with equal parameters reuse one function object (and therefore
+    one _jitted_vmap compile)."""
     from flan_tpu.pipelines import pv_stretch_pipeline
 
-    fn = functools.partial(
-        pv_stretch_pipeline, factor=float(factor), window_size=window_size,
-        hop=hop, dft_size=dft_size, sample_rate=float(sample_rate))
-    return map_sharded(lambda x: fn(x), clips, mesh=mesh)
+    return functools.partial(
+        pv_stretch_pipeline, factor=factor, window_size=window_size,
+        hop=hop, dft_size=dft_size, sample_rate=sample_rate)

@@ -219,6 +219,25 @@ def streamed_pv_process(xs: Sequence[jnp.ndarray],
         max_hops_per_chunk=max_hops, chunk_out=chunk_out)
 
 
+def _memo_chunk_op(factory):
+    """Memoize a chunk_op factory on its (hashable) arguments.
+
+    chunk_op is a static jit argument of _streamed_scan, hashed by object
+    identity - a fresh closure per pipeline call would retrace (and, cold,
+    recompile: minutes per shape through the remote tunnel) on EVERY call.
+    Caching the closure on the user's control values restores the jit
+    cache; unhashable controls (arrays) fall through uncached."""
+    cached = functools.lru_cache(maxsize=64)(factory)
+
+    @functools.wraps(factory)
+    def get(*args):
+        try:
+            return cached(*args)
+        except TypeError:       # unhashable control; caller pays retrace
+            return factory(*args)
+    return get
+
+
 def pv_repitch_pipeline(x: jnp.ndarray, factor, *, window_size: int = 2048,
                         hop: int = 128, dft_size: int = 4096,
                         sample_rate: float = 48000.0,
@@ -226,13 +245,20 @@ def pv_repitch_pipeline(x: jnp.ndarray, factor, *, window_size: int = 2048,
     """Streaming audio -> audio PV repitch: per-frame monotonic frequency
     remap (reference PVModify.cpp:273-305) without materializing PV.
     factor: positive float or Function of (t, f)."""
+    chunk_op = _repitch_chunk_op(
+        factor, dft_size // 2 + 1, sample_rate / dft_size,
+        sample_rate / hop)
+    return streamed_pv_process(
+        [x], chunk_op, time_map=None, window_size=window_size, hop=hop,
+        dft_size=dft_size, sample_rate=sample_rate, chunk_out=chunk_out)
+
+
+@_memo_chunk_op
+def _repitch_chunk_op(factor, nbins, bin_width, analysis_rate):
     from flan_tpu.func.function import as_function2d
     from flan_tpu.ops.pv_modify import modify_frequency_gather
 
     fn = as_function2d(factor)
-    nbins = dft_size // 2 + 1
-    bin_width = sample_rate / dft_size
-    analysis_rate = sample_rate / hop
 
     def chunk_op(mags, freqs, f0):
         mag, freq = mags[0], freqs[0]
@@ -252,9 +278,7 @@ def pv_repitch_pipeline(x: jnp.ndarray, factor, *, window_size: int = 2048,
         freq_modified = lo_val * (1 - rmix) + hi_val * rmix
         return modify_frequency_gather(mag, freq_modified, bin_map)
 
-    return streamed_pv_process(
-        [x], chunk_op, time_map=None, window_size=window_size, hop=hop,
-        dft_size=dft_size, sample_rate=sample_rate, chunk_out=chunk_out)
+    return chunk_op
 
 
 def pv_morph_pipeline(a: jnp.ndarray, b: jnp.ndarray, amount, *,
@@ -265,22 +289,35 @@ def pv_morph_pipeline(a: jnp.ndarray, b: jnp.ndarray, amount, *,
     (reference PV.cpp:205-236) - magnitudes blend toward source b by
     amount(t, f), frequencies stay a's - fused end to end so 10-minute
     inputs never materialize PV tensors."""
+    # replace_amplitudes zero-fills beyond the shorter source's frames
+    # (pv/algorithms.py replace_amplitudes: out planes start at zero and
+    # only [:min_frames] is written) - mirror that here, where the harness
+    # zero-pads the shorter input instead of truncating
+    min_nh = min(num_hops(int(a.shape[-1]), hop),
+                 num_hops(int(b.shape[-1]), hop))
+    chunk_op = _morph_chunk_op(amount, min_nh, sample_rate / dft_size,
+                               sample_rate / hop)
+    return streamed_pv_process(
+        [a, b], chunk_op, time_map=None, window_size=window_size, hop=hop,
+        dft_size=dft_size, sample_rate=sample_rate, chunk_out=chunk_out)
+
+
+@_memo_chunk_op
+def _morph_chunk_op(amount, min_nh, bin_width, analysis_rate):
     from flan_tpu.func.function import as_function2d
 
     fn = as_function2d(amount)
-    bin_width = sample_rate / dft_size
-    analysis_rate = sample_rate / hop
 
     def chunk_op(mags, freqs, f0):
         c, chunk, nb = mags[0].shape
-        t = (f0 + jnp.arange(chunk, dtype=jnp.float32)) / analysis_rate
+        frame_ids = f0 + jnp.arange(chunk, dtype=jnp.float32)
+        t = frame_ids / analysis_rate
         fr = jnp.arange(nb, dtype=jnp.float32) * bin_width
         amt = jnp.clip(
             jnp.broadcast_to(fn(t[:, None], fr[None, :]), (chunk, nb)),
             0.0, 1.0)
         mag = mags[1] * amt[None] + mags[0] * (1.0 - amt)[None]
-        return mag, freqs[0]
+        live = (frame_ids < min_nh)[None, :, None]
+        return jnp.where(live, mag, 0.0), jnp.where(live, freqs[0], 0.0)
 
-    return streamed_pv_process(
-        [a, b], chunk_op, time_map=None, window_size=window_size, hop=hop,
-        dft_size=dft_size, sample_rate=sample_rate, chunk_out=chunk_out)
+    return chunk_op

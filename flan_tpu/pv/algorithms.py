@@ -208,10 +208,19 @@ def _harmonic_scaler(self, series, harmonic_freq_fn, num_harmonics: int):
     chan_ix = jnp.arange(c)[:, None, None]
 
     series_fn = series if callable(series) else (lambda tt, hh: series)
-    s_rows = [jnp.broadcast_to(
-        jnp.asarray(series_fn(t[:, None], h), jnp.float32), (f, 1))[:, 0]
-        for h in range(num_harmonics)]
-    s_grid = jnp.stack(s_rows)                        # [H, F]
+
+    def _series_row(h):
+        raw = jnp.asarray(series_fn(t[:, None], h), jnp.float32)
+        if raw.ndim == 2 and raw.shape[-1] != 1:
+            raise ValueError(
+                "harmonic series functions are scalar over (time, harmonic)"
+                " - the reference's Function<pair<Second, Harmonic>,"
+                " Magnitude> (PV.cpp:362-407); per-bin series are not"
+                f" supported (got shape {raw.shape})")
+        return jnp.broadcast_to(raw, (f, 1))[:, 0]
+
+    s_grid = jnp.stack([_series_row(h)
+                        for h in range(num_harmonics)])  # [H, F]
     hs = jnp.arange(num_harmonics, dtype=jnp.float32)
 
     def step_vals(h, s_row):
@@ -255,11 +264,15 @@ def add_octaves(self, series):
                             lambda fr, h: fr * (2.0 ** h), n)
 
 
-def add_harmonics(self, series, max_harmonics: Optional[int] = None):
+def add_harmonics(self, series, max_harmonics: Optional[int] = 512):
     """(reference PV.cpp:415-419). The harmonic count is derived from the
     data: the lowest live partial determines how many harmonics can land
     inside the band, exactly the set the reference's per-MF while loop
-    paints. max_harmonics is an optional explicit ceiling."""
+    paints. max_harmonics bounds it (each harmonic is a full-plane scatter
+    pass here, unlike the reference's per-partial loop, so one junk
+    near-zero-frequency bin must not drive thousands of passes); pass
+    None to trust the data unconditionally."""
+    import warnings
     from flan_tpu.pv.pv import PV
     if self.is_null():
         return PV.create_null()
@@ -270,8 +283,10 @@ def add_harmonics(self, series, max_harmonics: Optional[int] = None):
         return self.copy()
     derived = max(1, int(np.ceil(height / max(fmin, 1.0))))
     if max_harmonics is not None and derived > max_harmonics:
-        print(f"add_harmonics: derived harmonic count {derived} clipped "
-              f"to explicit max_harmonics={max_harmonics}")
+        warnings.warn(
+            f"add_harmonics: derived harmonic count {derived} clipped to "
+            f"max_harmonics={max_harmonics}; partials below "
+            f"{height / max_harmonics:.1f} Hz lose their highest harmonics")
         derived = max_harmonics
     return _harmonic_scaler(self, series,
                             lambda fr, h: fr * (h + 1.0), derived)

@@ -266,6 +266,9 @@ def prism(self, prism_func, use_local_contour_time: bool = True):
         contours = get_contours(self, channel, min_frequency, max_frequency,
                                 60, 20.0)
         if not contours:
+            # reference parity: ANY channel without contours nulls the
+            # whole call (PVInformation.cpp:299 'if (contours.empty())
+            # return PV()'), discarding already-rewritten channels
             return PV.create_null()
         contours.sort(key=lambda c: c.start_frame)
 
@@ -419,9 +422,16 @@ def _prism_one_contour(self, prism_func, use_local_contour_time, channel,
                 bi = nb[:, hh, :][sel_h]
                 vals = sm[:, hh, :][sel_h].astype(np.float32)
                 vfs = smf[:, hh, :][sel_h]
+                # the scalar loop writes freq only on STRICT improvement
+                # (reference 'if out < sm', PVInformation.cpp:350), so ties
+                # with the existing value - notably zero-magnitude taps on
+                # zero bins - must not touch freq; among equal in-batch
+                # candidates the first wins (reversed write order)
+                prev = out_mag[channel][fi, bi].copy()
                 np.maximum.at(out_mag[channel], (fi, bi), vals)
-                winners = out_mag[channel][fi, bi] == vals
-                out_freq[channel][fi[winners], bi[winners]] = vfs[winners]
+                winners = (vals > prev) & (out_mag[channel][fi, bi] == vals)
+                wi = np.flatnonzero(winners)[::-1]
+                out_freq[channel][fi[wi], bi[wi]] = vfs[wi]
             selp_h = okp[:, hh, :]
             if selp_h.any():
                 fip = fidx3p[:, hh, :][selp_h]

@@ -95,9 +95,15 @@ def smear_time(self, smear_size, granularity=5, distribution=None,
 
     half_taps = max(max_exp, 1)                           # from the data
     if max_kernel is not None and half_taps > max_kernel:
-        print(f"smear_time: derived kernel {half_taps} half-taps clipped "
-              f"to explicit max_kernel={max_kernel}")
+        import warnings
+        warnings.warn(f"smear_time: derived kernel {half_taps} half-taps "
+                      f"clipped to explicit max_kernel={max_kernel}")
         half_taps = max_kernel
+    elif max_kernel is None and half_taps > 4096:
+        import warnings
+        warnings.warn(
+            f"smear_time: smear sizes imply a {half_taps}-half-tap kernel "
+            "(each tap is a full-plane pass); pass max_kernel to bound it")
     min_gran = max(1, int(jnp.min(gran)))
     offs = jnp.arange(-half_taps, half_taps, dtype=jnp.int32)
     if min_gran > 1:
@@ -356,10 +362,19 @@ def modify(self, mod, interp: Callable = interpolators.linear,
     span_y = max(span_y, 1)
     if max_quad_span is not None and (span_x > max_quad_span
                                       or span_y > max_quad_span):
-        print(f"PV.modify: derived quad span ({span_x}x{span_y}) clipped "
-              f"to explicit max_quad_span={max_quad_span}")
+        import warnings
+        warnings.warn(
+            f"PV.modify: derived quad span ({span_x}x{span_y}) clipped "
+            f"to explicit max_quad_span={max_quad_span}; extreme quads "
+            "will rasterize incompletely")
         span_x = min(span_x, max_quad_span)
         span_y = min(span_y, max_quad_span)
+    elif max_quad_span is None and span_x * span_y > 4096:
+        import warnings
+        warnings.warn(
+            f"PV.modify: one quad spans {span_x}x{span_y} output cells, "
+            f"driving a {span_x * span_y}-step rasterization scan; pass "
+            "max_quad_span to trade completeness for speed")
 
     chan_ix = jnp.arange(c)[:, None, None]
     freqs_st = jnp.stack(freqs)

@@ -74,3 +74,30 @@ def test_short_signal_uses_scan_path():
     direct = F._butterworth_2pole(a, 1, 2000.0, 0.7, 0, _direct=True)
     fast = a.filter_2pole_lowpass(2000.0, 0.7, 1)
     assert _maxdiff(direct.data, fast.data) == 0.0  # same code path
+
+
+def test_impulse_response_max_len_consistent_with_cache():
+    """First call and cached calls must agree when the adaptive doubling
+    overshoots a non-power-of-two max_len (round-2 review finding 3)."""
+    from flan_tpu.ops import fir
+    import jax.numpy as jnp
+
+    calls = []
+
+    def slow_decay(x):
+        # linear filter with a long tail: y[i] = sum_j 0.9994^j x[i-j]
+        calls.append(x.shape)
+        n = x.shape[-1]
+        h = jnp.power(0.9994, jnp.arange(n, dtype=jnp.float32))
+        import numpy as np
+        full = np.convolve(np.asarray(x[0]), np.asarray(h))[:n]
+        return jnp.asarray(full)[None]
+
+    key = ("test-slow-decay", 0.9994)
+    fir._IR_CACHE.pop(key, None)
+    first = fir.impulse_response(slow_decay, 20000, cache_key=key)
+    second = fir.impulse_response(slow_decay, 20000, cache_key=key)
+    if first is None:
+        assert second is None
+    else:
+        assert second is not None and second.shape == first.shape

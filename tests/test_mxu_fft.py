@@ -79,3 +79,18 @@ def test_rfft_zero_tail_trim_matches_padded():
                                    atol=2e-5 * scale)
         np.testing.assert_allclose(np.asarray(im), ref.imag,
                                    atol=2e-5 * scale)
+
+
+@pytest.mark.parametrize("n", [5, 9, 10, 14, 22, 100])
+def test_fft_awkward_sizes(n):
+    """Sizes whose half is odd (or odd n) fall back to exact dense-DFT
+    splits instead of crashing (round-2 review finding 1)."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    re, im = rfft_mxu(jnp.asarray(x), n)
+    ref = np.fft.rfft(x, axis=-1)
+    np.testing.assert_allclose(np.asarray(re), ref.real, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(im), ref.imag, atol=2e-4)
+    y = np.asarray(irfft_mxu(jnp.asarray(ref.real.astype(np.float32)),
+                             jnp.asarray(ref.imag.astype(np.float32)), n))
+    np.testing.assert_allclose(y[..., :n], x, atol=2e-4)

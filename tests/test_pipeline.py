@@ -81,3 +81,28 @@ def test_morph_pipeline_matches_unfused():
     m = min(fused.shape[-1], unfused.shape[-1])
     np.testing.assert_allclose(np.asarray(fused[:, :m]),
                                np.asarray(unfused[:, :m]), atol=1e-3)
+
+
+def test_morph_pipeline_mismatched_lengths():
+    """When b is shorter than a, frames beyond b's extent must be silent
+    (replace_amplitudes zero-fills beyond min_frames; round-2 review
+    finding 4) - not (1-amt)-scaled a-content."""
+    from flan_tpu.pipelines import pv_morph_pipeline
+    sr = 8000.0
+    na, nb = 2 * 8000, 8000
+    t = np.arange(na, dtype=np.float32) / sr
+    x = jnp.asarray((0.5 * np.sin(2 * np.pi * 440 * t))[None])
+    y = jnp.asarray((0.4 * np.sin(2 * np.pi * 620 * t[:nb]))[None])
+    a = Audio(data=x, sample_rate=sr)
+    b = Audio(data=y, sample_rate=sr)
+    amt = 0.25  # constant blend: a keeps 75% where b exists
+    fused = pv_morph_pipeline(x, y, amt, window_size=512, hop=64,
+                              dft_size=512, sample_rate=sr)
+    unfused = a.convert_to_PV(512, 64, 512).replace_amplitudes(
+        b.convert_to_PV(512, 64, 512), amt).convert_to_audio().data
+    m = min(fused.shape[-1], unfused.shape[-1])
+    np.testing.assert_allclose(np.asarray(fused[:, :m]),
+                               np.asarray(unfused[:, :m]), atol=1e-3)
+    # the tail (well past b plus the OLA window) must be silent
+    tail = np.asarray(fused[:, nb + 2048:])
+    assert np.abs(tail).max() < 1e-3

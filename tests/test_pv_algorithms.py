@@ -148,3 +148,32 @@ def test_general_modify_matches_stretch(sine_pv):
     m = np.asarray(mod.mag[0, mid])
     fr = np.asarray(mod.freq[0, mid])
     assert abs(fr[m.argmax()] - 440.0) < 10.0
+
+
+def test_add_harmonics_junk_partial_clips_with_warning(sine_pv):
+    """One junk near-zero-frequency bin must not drive thousands of
+    full-plane scatter passes (round-2 review finding 5)."""
+    import warnings
+    import jax.numpy as jnp
+    pv = sine_pv
+    freq = pv.freq.at[0, 2, 3].set(1.5)   # junk partial at 1.5 Hz
+    mag = pv.mag.at[0, 2, 3].set(0.1)
+    pv = pv._with(freq=freq, mag=mag)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = pv.add_harmonics(1.0, max_harmonics=32)
+        assert any("clipped" in str(x.message) for x in w)
+    assert not out.is_null()
+
+
+def test_harmonic_series_per_bin_rejected(sine_pv):
+    """Series functions are scalar over (time, harmonic) like the
+    reference's Function<pair<Second, Harmonic>, Magnitude>; per-bin
+    returns raise a clear error instead of a broadcast crash."""
+    import pytest
+    import jax.numpy as jnp
+    pv = sine_pv
+    b = pv.num_bins
+    with pytest.raises(ValueError, match="per-bin"):
+        pv.add_harmonics(lambda t, h: jnp.ones((t.shape[0], b)),
+                         max_harmonics=4)

@@ -79,3 +79,26 @@ def test_prism_batched_matches_scalar_reference(melody_pv):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(fast.freq), np.asarray(slow.freq),
                                atol=1e-2)
+
+
+def test_prism_tie_semantics_zero_mag_taps(melody_pv):
+    """Freq writes happen only on STRICT magnitude improvement (reference
+    'if (out < sm)'); zero-magnitude taps with valid frequencies must not
+    overwrite freq (round-2 review finding 2)."""
+    import jax.numpy as jnp
+    from flan_tpu.pv.information import _prism_scalar_reference
+
+    # zero out a band of magnitudes while keeping their frequencies: the
+    # scatter ties at 0 exactly where the old >= comparison diverged
+    mag = melody_pv.mag.at[:, :, 40:60].set(0.0)
+    pv = melody_pv._with(mag=mag)
+
+    def octave(note, t, harmonic, base_freq, harmonic_mags):
+        return harmonic_mags[harmonic - 1], base_freq * harmonic * 2.0
+
+    fast = pv.prism(octave, use_local_contour_time=False)
+    slow = _prism_scalar_reference(pv, octave, use_local_contour_time=False)
+    np.testing.assert_allclose(np.asarray(fast.mag), np.asarray(slow.mag),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fast.freq), np.asarray(slow.freq),
+                               atol=1e-2)
