@@ -155,14 +155,12 @@ def _lane_scan(combine, identity, leaves):
         for x in out)
 
 
-def linear_recurrence(a: jnp.ndarray, b: jnp.ndarray,
-                      y0=0.0, axis: int = -1) -> jnp.ndarray:
-    """Solve y[n] = a[n] * y[n-1] + b[n] with y[-1] = y0, in parallel.
-
-    a, b broadcastable; scan along `axis`. Returns y with same shape as b.
-    """
+def linear_scanned_maps(a: jnp.ndarray, b: jnp.ndarray, axis: int = -1):
+    """Composed prefix maps of y -> a*y + b along `axis`: returns (aa, bb)
+    with y[n] = aa[n] * y[-1] + bb[n]. The building block of both the
+    single-chip recurrence and the sequence-parallel boundary-state handoff
+    (flan_tpu.parallel.scan_sp)."""
     a = jnp.broadcast_to(a, b.shape).astype(b.dtype)
-    y0_arr = jnp.asarray(y0, b.dtype)
 
     def combine(l, r):
         al, bl = l
@@ -174,10 +172,18 @@ def linear_recurrence(a: jnp.ndarray, b: jnp.ndarray,
         aa, bb = _lane_scan(combine, (1.0, 0.0),
                             (jnp.moveaxis(a, axis, -1),
                              jnp.moveaxis(b, axis, -1)))
-        return jnp.moveaxis(aa * y0_arr + bb, -1, axis)
+        return jnp.moveaxis(aa, -1, axis), jnp.moveaxis(bb, -1, axis)
+    return _tiled_scan(combine, (1.0, 0.0), (a, b), axis=axis)
 
-    aa, bb = _tiled_scan(combine, (1.0, 0.0), (a, b), axis=axis)
-    return aa * y0_arr + bb
+
+def linear_recurrence(a: jnp.ndarray, b: jnp.ndarray,
+                      y0=0.0, axis: int = -1) -> jnp.ndarray:
+    """Solve y[n] = a[n] * y[n-1] + b[n] with y[-1] = y0, in parallel.
+
+    a, b broadcastable; scan along `axis`. Returns y with same shape as b.
+    """
+    aa, bb = linear_scanned_maps(a, b, axis=axis)
+    return aa * jnp.asarray(y0, b.dtype) + bb
 
 
 def max_affine_recurrence(m: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
@@ -214,12 +220,12 @@ def max_affine_recurrence(m: jnp.ndarray, a: jnp.ndarray, c: jnp.ndarray,
     return jnp.maximum(mm, aa * y0_arr + cc)
 
 
-def matrix_affine_recurrence(A: jnp.ndarray, b: jnp.ndarray,
-                             y0: jnp.ndarray) -> jnp.ndarray:
-    """Solve y[n] = A[n] @ y[n-1] + b[n] for small state dims, in parallel.
+def matrix_affine_scanned_leaves(A: jnp.ndarray, b: jnp.ndarray):
+    """Composed prefix-map leaves of y -> A @ y + b along the T axis.
 
-    A: [..., T, k, k], b: [..., T, k], y0: [..., k]. Scans along the T
-    axis; k is 2 for the reference's 2-pole SVF state (s1, s2).
+    A: [..., T, k, k], b: [..., T, k]. Returns a tuple of k*k + k leaves,
+    each [..., T]: leaf i*k+j is AA[t][i, j] and leaf k*k+i is bb[t][i],
+    such that y[t] = AA[t] @ y[-1] + bb[t].
 
     Each matrix/vector component is its own scan leaf with the time axis
     last (lane-major): scanning [..., T, 2, 2] directly leaves T on a
@@ -251,9 +257,19 @@ def matrix_affine_recurrence(A: jnp.ndarray, b: jnp.ndarray,
         return aa + bb
 
     if USE_LANE_SCAN and a_leaves[0].shape[-1] >= LANE_SCAN_MIN:
-        out = _lane_scan(combine, identity, a_leaves + b_leaves)
-    else:
-        out = _tiled_scan(combine, identity, a_leaves + b_leaves, axis=-1)
+        return _lane_scan(combine, identity, a_leaves + b_leaves)
+    return _tiled_scan(combine, identity, a_leaves + b_leaves, axis=-1)
+
+
+def matrix_affine_recurrence(A: jnp.ndarray, b: jnp.ndarray,
+                             y0: jnp.ndarray) -> jnp.ndarray:
+    """Solve y[n] = A[n] @ y[n-1] + b[n] for small state dims, in parallel.
+
+    A: [..., T, k, k], b: [..., T, k], y0: [..., k]. Scans along the T
+    axis; k is 2 for the reference's 2-pole SVF state (s1, s2).
+    """
+    k = A.shape[-1]
+    out = matrix_affine_scanned_leaves(A, b)
     AA = out[: k * k]
     bb = out[k * k:]
     # y[t] = AA[t] @ y0 + bb[t], components over leading dims

@@ -96,3 +96,53 @@ def test_stretch_batch_convenience(mesh):
     for out, clip in zip(outs, clips):
         assert out.shape[-1] >= 2 * clip.shape[-1] - 4 * HOP
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_linear_recurrence_sp_matches_single(mesh):
+    """IIR boundary-state handoff (SURVEY.md section 5 / VERDICT.md round 1
+    missing item 2): sharded scalar recurrence equals the single-chip
+    tiled scan."""
+    from flan_tpu.ops.scan import linear_recurrence
+    from flan_tpu.parallel.scan_sp import linear_recurrence_sp
+    rng = np.random.default_rng(4)
+    n = 8 * 1000 + 37  # non-multiple of the mesh: exercises identity pad
+    a = jnp.asarray(rng.uniform(0.8, 0.999, (2, n)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32) * 0.1)
+    y1 = linear_recurrence(a, b, y0=0.25)
+    y8 = linear_recurrence_sp(a, b, mesh, y0=0.25)
+    np.testing.assert_allclose(np.asarray(y8), np.asarray(y1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_matrix_recurrence_sp_matches_single(mesh):
+    from flan_tpu.ops.scan import matrix_affine_recurrence
+    from flan_tpu.parallel.scan_sp import matrix_affine_recurrence_sp
+    rng = np.random.default_rng(5)
+    c, t, k = 2, 8 * 500 + 13, 2
+    # contractive random transitions (spectral radius < 1, like the SVF)
+    A = jnp.asarray(
+        (rng.standard_normal((c, t, k, k)) * 0.3).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((c, t, k)).astype(np.float32) * 0.1)
+    y0 = jnp.asarray(rng.standard_normal((c, k)).astype(np.float32))
+    y1 = matrix_affine_recurrence(A, b, y0)
+    y8 = matrix_affine_recurrence_sp(A, b, y0, mesh)
+    np.testing.assert_allclose(np.asarray(y8), np.asarray(y1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_filter_1pole_sp_matches_core(mesh):
+    """The sharded TPT 1-pole lowpass equals the single-chip core, with a
+    time-varying (per-sample) cutoff - the case the FIR fast path can't
+    take."""
+    from flan_tpu.ops.filter_cores import onepole_core
+    from flan_tpu.parallel.scan_sp import filter_1pole_lowpass_sp
+    rng = np.random.default_rng(6)
+    n = 8 * 1024
+    x = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32) * 0.3)
+    cutoff = jnp.asarray(
+        (800.0 + 600.0 * np.sin(np.linspace(0, 6.0, n))).astype(np.float32))
+    g = jnp.tan((np.pi / SR) * cutoff)
+    lp1, _ = onepole_core(x, g[None, :])
+    lp8 = filter_1pole_lowpass_sp(x, cutoff, SR, mesh)
+    np.testing.assert_allclose(np.asarray(lp8), np.asarray(lp1),
+                               rtol=1e-4, atol=1e-5)
