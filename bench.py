@@ -187,12 +187,14 @@ def bench_morph():
 
     best = _best_time(run, reps=2)
 
-    # the fused streaming path (audio->audio, O(chunk) HBM) for comparison
+    # the fused streaming path (audio->audio, O(chunk) HBM) for comparison.
+    # ONE amount-function object: the chunk op is memoized on it, and a
+    # fresh lambda per call would retrace the fused scan every repetition
     from flan_tpu.pipelines import pv_morph_pipeline
+    amt_fused = lambda t, f: jnp.clip(t / seconds, 0.0, 1.0)
 
     def run_fused():
-        _sync(pv_morph_pipeline(
-            a.data, b.data, lambda t, f: jnp.clip(t / seconds, 0.0, 1.0)))
+        _sync(pv_morph_pipeline(a.data, b.data, amt_fused))
 
     best_fused = _best_time(run_fused, reps=2)
     return {

@@ -30,8 +30,16 @@ def _pair_lookup(map_1d: jnp.ndarray, xs: jnp.ndarray):
     """For each x, find pair index i with map[i-1] <= x < map[i].
 
     Returns (idx, valid). map_1d must be non-decreasing ([F] float32).
+
+    method="sort": the default binary-search lowering measured 123 ms for
+    a vmapped [256 x 2049-in-2049] lookup on the v5e; the sort-based form
+    measured 65 ms (a compare-and-reduce came out the same, a blocked
+    coarse/fine counting search 4x worse - the data-dependent gathers
+    dominate). Monotone-map callers with host-known maps should
+    precompute indices instead (see pipelines/streamed.py and the
+    constant-factor repitch path).
     """
-    idx = jnp.searchsorted(map_1d, xs, side="right")
+    idx = jnp.searchsorted(map_1d, xs, side="right", method="sort")
     valid = (idx >= 1) & (idx <= map_1d.shape[0] - 1)
     return jnp.clip(idx, 1, map_1d.shape[0] - 1), valid
 

@@ -106,3 +106,23 @@ def test_morph_pipeline_mismatched_lengths():
     # the tail (well past b plus the OLA window) must be silent
     tail = np.asarray(fused[:, nb + 2048:])
     assert np.abs(tail).max() < 1e-3
+
+
+def test_repitch_pipeline_variable_factor_matches_unfused():
+    """A callable factor takes the general (per-chunk searchsorted) path;
+    the constant path above takes the host-precomputed one - both must
+    match the unfused op."""
+    from flan_tpu.pipelines import pv_repitch_pipeline
+    sr = 8000.0
+    n = 2 * 8000
+    t = np.arange(n, dtype=np.float32) / sr
+    x = jnp.asarray((0.5 * np.sin(2 * np.pi * 440 * t))[None])
+    a = Audio(data=x, sample_rate=sr)
+    factor = lambda tt, ff: 1.2 + 0.3 * jnp.clip(tt / 2.0, 0.0, 1.0)
+    fused = pv_repitch_pipeline(x, factor, window_size=512, hop=64,
+                                dft_size=512, sample_rate=sr)
+    unfused = a.convert_to_PV(512, 64, 512).repitch(factor) \
+        .convert_to_audio().data
+    m = min(fused.shape[-1], unfused.shape[-1])
+    np.testing.assert_allclose(np.asarray(fused[:, :m]),
+                               np.asarray(unfused[:, :m]), atol=1e-3)
