@@ -285,47 +285,16 @@ def _repitch_chunk_op(factor, nbins, bin_width, analysis_rate):
 
 
 def _repitch_chunk_op_const(f: float, nbins: int, bin_width: float):
-    """Constant-factor repitch chunk op with the whole inverse bin map
-    precomputed on the host.
-
-    With a constant factor the general path's per-chunk work is pure
-    overhead measured at ~176 ms/chunk on the v5e (123 ms of it the
-    vmapped searchsorted, most of the rest data-dependent gathers). Here
-    bin_map[j] = f*(j+1) is known at trace time, so the pair indices,
-    mixes and validity are numpy constants, the gathers compile to static
-    lane permutations, and the frequency remap collapses to its closed
-    form freq' = f * (clip(freq) + bin_width) - note the reference's
-    +1-bin offset (PVModify.cpp:263-268), preserved by the general path's
-    cumsum too.
-    """
-    b = nbins
-    bin_map = np.float32(f) * np.arange(1, b + 1, dtype=np.float32)
-    ys = np.arange(b, dtype=np.float32)
-    idx = np.searchsorted(bin_map, ys, side="right")
-    valid = (idx >= 1) & (idx <= b - 1)
-    idx = np.clip(idx, 1, b - 1)
-    lo = bin_map[idx - 1]
-    hi = bin_map[idx]
-    mix = np.clip((ys - lo) / np.where(hi == lo, 1.0, hi - lo), 0.0, 1.0)
-    mix_j = jnp.asarray(mix.astype(np.float32))
-    valid_j = jnp.asarray(valid)
-    idx_lo = idx - 1      # python ints -> static gathers
-    clamp_hi = (b - 1 - 1e-4) * bin_width
+    """Constant-factor repitch chunk op: the host-precomputed inverse bin
+    map (ops/pv_modify.modify_frequency_gather_const) replaces the general
+    path's ~176 ms/chunk of per-chunk searchsorted + data-dependent
+    gathers with ~2 ms of static-permutation work (measured on the v5e:
+    fused 60 s stereo repitch 6.2x -> 428x realtime)."""
+    from flan_tpu.ops.pv_modify import modify_frequency_gather_const
 
     def chunk_op(mags, freqs, f0):
-        mag, freq = mags[0], freqs[0]
-        freq_mod = np.float32(f) * (jnp.clip(freq, 0.0, clamp_hi)
-                                    + np.float32(bin_width))
-        m_lo = mag[..., idx_lo]
-        m_hi = mag[..., idx]
-        w0 = (1.0 - mix_j) * m_lo
-        w1 = mix_j * m_hi
-        pick_lo = w0 >= w1
-        out_m = jnp.where(pick_lo, m_lo, m_hi)
-        out_f = jnp.where(pick_lo, freq_mod[..., idx_lo],
-                          freq_mod[..., idx])
-        return (jnp.where(valid_j, out_m, 0.0),
-                jnp.where(valid_j, out_f, 0.0))
+        return modify_frequency_gather_const(mags[0], freqs[0], f,
+                                             bin_width)
 
     return chunk_op
 

@@ -176,6 +176,14 @@ class PV(PVBuffer):
         if self.is_null():
             return PV.create_null()
         fn = as_function2d(factor)
+        if fn.is_constant and interp is interpolators.linear:
+            # host-precomputed inverse bin map: static gathers instead of
+            # the searchsorted + data-dependent-gather path (measured
+            # ~90x cheaper on the v5e; see modify_frequency_gather_const)
+            out_mag, out_freq = pv_modify.modify_frequency_gather_const(
+                self.mag, self.freq, float(fn.constant_value),
+                self.bin_width)
+            return self._with(mag=out_mag, freq=out_freq)
         t = jnp.arange(self.num_frames, dtype=jnp.float32) \
             / self.analysis_rate
         b = jnp.arange(self.num_bins, dtype=jnp.float32) * self.bin_width
