@@ -94,6 +94,23 @@ def _cfft_mats_np(m: int, inverse: bool):
             f32(tw.real), f32(tw.imag))
 
 
+# Below this length the complex FFT runs as ONE dense block matmul
+# ([2m, 2m], perfect MXU tiles, no twiddle/concat/transpose stages):
+# the two-stage split of small m produces sub-128 contraction/lane dims
+# whose padding + relayout costs exceed the dense form's extra MACs
+# (4m^2 exact vs ~m*(a+b) padded-to-128; crossover measured on the v5e).
+_DENSE_MAX = 512
+
+
+@functools.cache
+def _dense_mats_np(m: int, inverse: bool):
+    s = 2j * np.pi if inverse else -2j * np.pi
+    w = np.exp(s * np.outer(np.arange(m), np.arange(m)) / m)
+    if inverse:
+        w = w / m
+    return _block(w.real, w.imag)                    # [2m, 2m]
+
+
 def _cfft(zr: jnp.ndarray, zi: jnp.ndarray, m: int, inverse: bool,
           n1_rows: int = 0, k2_cols: int = 0):
     """Complex FFT of (zr, zi) [..., m] -> (Zr, Zi) [..., m].
@@ -106,6 +123,13 @@ def _cfft(zr: jnp.ndarray, zi: jnp.ndarray, m: int, inverse: bool,
     needed (output truncated to a*k2_cols) - the stage-2 matrix drops the
     dead columns.
     """
+    if m <= _DENSE_MAX:
+        wb = jnp.asarray(_dense_mats_np(m, inverse))
+        xb = jnp.concatenate([zr, zi], axis=-1)      # [..., 2m]
+        out = jnp.einsum("...n,nk->...k", xb, wb,
+                         preferred_element_type=jnp.float32,
+                         precision=_PRECISION)
+        return out[..., :m], out[..., m:]
     a, b = _split(m)
     ablk, bblk, twr, twi = (jnp.asarray(x) for x in _cfft_mats_np(m, inverse))
     rows = n1_rows if n1_rows else a
