@@ -1,0 +1,152 @@
+"""Command-line batch processor: the production "render files" surface.
+
+The reference is a library only (its flanTest.cpp scratchpad is the sole
+executable); deployment-shaped workloads - render a playlist, regenerate a
+sample library - want a process-level entry point that amortizes compiles
+across files. Ops that share parameters reuse one jitted program, and
+multiple inputs of like shape batch data-parallel over the device mesh
+(flan_tpu.parallel.batch).
+
+Usage:
+    python -m flan_tpu stretch --factor 2.0 out_dir in1.wav in2.wav ...
+    python -m flan_tpu repitch --factor 1.5 out_dir in.wav
+    python -m flan_tpu morph --amount 0.5 out_dir a.wav b.wav
+    python -m flan_tpu filter-lowpass --cutoff 2000 --order 2 out_dir in.wav
+    python -m flan_tpu resample --rate 48000 out_dir in.wav
+    python -m flan_tpu spectrogram out_dir in.wav        # BMP per input
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List
+
+
+def _out_path(out_dir: str, in_path: str, suffix: str = "") -> str:
+    base = os.path.splitext(os.path.basename(in_path))[0]
+    return os.path.join(out_dir, base + suffix)
+
+
+def _load(paths: List[str]):
+    from flan_tpu import Audio
+    clips = [Audio.load_from_file(p) for p in paths]
+    for p, c in zip(paths, clips):
+        if c.is_null():
+            raise SystemExit(f"could not read {p}")
+    return clips
+
+
+def _save_all(clips, paths, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for clip, p in zip(clips, paths):
+        q = _out_path(out_dir, p, ".wav")
+        clip.save_to_file(q)
+        print(q)
+
+
+def _maybe_batch(fn, clips, paths, out_dir):
+    """One clip: run directly. Several same-channel clips: shard the batch
+    over the mesh (zero collectives; padding clips to the longest)."""
+    import jax
+    from flan_tpu import Audio
+    if len(clips) > 1 and len(jax.devices()) > 1 and \
+            len({c.num_channels for c in clips}) == 1:
+        from flan_tpu.parallel.batch import map_sharded
+        lens = [c.num_frames for c in clips]
+        outs = map_sharded(fn, [c.data for c in clips])
+        sr = clips[0].sample_rate
+        rendered = []
+        for out, n in zip(outs, lens):
+            rendered.append(Audio(data=out, sample_rate=sr))
+        _save_all(rendered, paths, out_dir)
+    else:
+        rendered = [c._with(data=fn(c.data)) for c in clips]
+        _save_all(rendered, paths, out_dir)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="flan_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("stretch", help="PV time stretch (fused streaming)")
+    p.add_argument("--factor", type=float, required=True)
+    p.add_argument("out_dir")
+    p.add_argument("inputs", nargs="+")
+
+    p = sub.add_parser("repitch", help="PV pitch scale (fused streaming)")
+    p.add_argument("--factor", type=float, required=True)
+    p.add_argument("out_dir")
+    p.add_argument("inputs", nargs="+")
+
+    p = sub.add_parser("morph", help="spectral morph of two inputs")
+    p.add_argument("--amount", type=float, default=0.5)
+    p.add_argument("out_dir")
+    p.add_argument("inputs", nargs=2)
+
+    p = sub.add_parser("filter-lowpass", help="Butterworth lowpass")
+    p.add_argument("--cutoff", type=float, required=True)
+    p.add_argument("--order", type=int, default=2)
+    p.add_argument("out_dir")
+    p.add_argument("inputs", nargs="+")
+
+    p = sub.add_parser("resample", help="rational polyphase resample")
+    p.add_argument("--rate", type=float, required=True)
+    p.add_argument("out_dir")
+    p.add_argument("inputs", nargs="+")
+
+    p = sub.add_parser("spectrogram", help="render spectrogram BMPs")
+    p.add_argument("out_dir")
+    p.add_argument("inputs", nargs="+")
+
+    args = ap.parse_args(argv)
+    from flan_tpu import Audio
+
+    if args.cmd == "stretch":
+        clips = _load(args.inputs)
+        sr = clips[0].sample_rate
+        from flan_tpu.pipelines import pv_stretch_pipeline
+        _maybe_batch(
+            lambda x: pv_stretch_pipeline(x, args.factor,
+                                          sample_rate=float(sr)),
+            clips, args.inputs, args.out_dir)
+    elif args.cmd == "repitch":
+        clips = _load(args.inputs)
+        sr = clips[0].sample_rate
+        from flan_tpu.pipelines import pv_repitch_pipeline
+        _maybe_batch(
+            lambda x: pv_repitch_pipeline(x, args.factor,
+                                          sample_rate=float(sr)),
+            clips, args.inputs, args.out_dir)
+    elif args.cmd == "morph":
+        a, b = _load(args.inputs)
+        from flan_tpu.pipelines import pv_morph_pipeline
+        out = pv_morph_pipeline(a.data, b.data, args.amount,
+                                sample_rate=float(a.sample_rate))
+        os.makedirs(args.out_dir, exist_ok=True)
+        q = _out_path(args.out_dir, args.inputs[0], "_morph.wav")
+        a._with(data=out).save_to_file(q)
+        print(q)
+    elif args.cmd == "filter-lowpass":
+        clips = _load(args.inputs)
+        rendered = [c.filter_2pole_lowpass(args.cutoff, 0.5, args.order)
+                    for c in clips]
+        _save_all(rendered, args.inputs, args.out_dir)
+    elif args.cmd == "resample":
+        clips = _load(args.inputs)
+        rendered = [c.resample(args.rate) for c in clips]
+        _save_all(rendered, args.inputs, args.out_dir)
+    elif args.cmd == "spectrogram":
+        clips = _load(args.inputs)
+        os.makedirs(args.out_dir, exist_ok=True)
+        for c, p in zip(clips, args.inputs):
+            q = _out_path(args.out_dir, p, ".bmp")
+            c.convert_to_PV().convert_to_graph().save_image(q)
+            print(q)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

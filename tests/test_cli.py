@@ -1,0 +1,64 @@
+"""CLI batch processor (python -m flan_tpu)."""
+import numpy as np
+import pytest
+
+from flan_tpu import Audio
+from flan_tpu.cli import main
+
+SR = 8000.0
+
+
+@pytest.fixture()
+def wavs(tmp_path):
+    paths = []
+    for i, freq in enumerate((330.0, 440.0)):
+        t = np.arange(int(0.4 * SR), dtype=np.float32) / SR
+        a = Audio.create_from_array(
+            (0.4 * np.sin(2 * np.pi * freq * t))[None], SR)
+        p = str(tmp_path / f"in{i}.wav")
+        a.save_to_file(p)
+        paths.append(p)
+    return paths
+
+
+def test_cli_stretch(tmp_path, wavs):
+    out = str(tmp_path / "out")
+    assert main(["stretch", "--factor", "2.0", out] + wavs) == 0
+    for p in ("in0.wav", "in1.wav"):
+        o = Audio.load_from_file(str(tmp_path / "out" / p))
+        assert not o.is_null()
+        assert o.num_frames >= int(0.7 * SR)  # ~2x the 0.4 s input
+
+
+def test_cli_repitch_and_filter(tmp_path, wavs):
+    out = str(tmp_path / "out2")
+    assert main(["repitch", "--factor", "1.5", out, wavs[0]]) == 0
+    o = Audio.load_from_file(str(tmp_path / "out2" / "in0.wav"))
+    d = np.asarray(o.data[0, 800:2400])
+    dom = np.abs(np.fft.rfft(d)).argmax() * SR / len(d)
+    assert dom == pytest.approx(495.0, abs=15)  # 330 * 1.5
+
+    out3 = str(tmp_path / "out3")
+    assert main(["filter-lowpass", "--cutoff", "500", out3, wavs[1]]) == 0
+    o = Audio.load_from_file(str(tmp_path / "out3" / "in1.wav"))
+    assert not o.is_null()
+
+
+def test_cli_morph_and_resample(tmp_path, wavs):
+    out = str(tmp_path / "m")
+    assert main(["morph", "--amount", "0.5", out] + wavs) == 0
+    o = Audio.load_from_file(str(tmp_path / "m" / "in0_morph.wav"))
+    assert not o.is_null()
+
+    out2 = str(tmp_path / "r")
+    assert main(["resample", "--rate", "12000", out2, wavs[0]]) == 0
+    o = Audio.load_from_file(str(tmp_path / "r" / "in0.wav"))
+    assert o.sample_rate == 12000.0
+    assert o.num_frames == pytest.approx(0.4 * 12000, abs=4)
+
+
+def test_cli_spectrogram(tmp_path, wavs):
+    out = str(tmp_path / "s")
+    assert main(["spectrogram", out, wavs[0]]) == 0
+    blob = open(str(tmp_path / "s" / "in0.bmp"), "rb").read(2)
+    assert blob == b"BM"
