@@ -29,11 +29,14 @@ def _out_path(out_dir: str, in_path: str, suffix: str = "") -> str:
 
 
 def _load(paths: List[str]):
-    from flan_tpu import Audio
-    clips = [Audio.load_from_file(p) for p in paths]
-    for p, c in zip(paths, clips):
+    # prefetching loader: decode + device staging of clip k+1 overlaps
+    # compute on clip k (SURVEY.md native checklist: host->HBM loader)
+    from flan_tpu.io.loader import iter_audio_prefetched
+    clips = []
+    for p, c in iter_audio_prefetched(paths):
         if c.is_null():
             raise SystemExit(f"could not read {p}")
+        clips.append(c)
     return clips
 
 

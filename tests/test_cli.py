@@ -62,3 +62,15 @@ def test_cli_spectrogram(tmp_path, wavs):
     assert main(["spectrogram", out, wavs[0]]) == 0
     blob = open(str(tmp_path / "s" / "in0.bmp"), "rb").read(2)
     assert blob == b"BM"
+
+
+def test_prefetching_loader(tmp_path, wavs):
+    from flan_tpu.io.loader import iter_audio_prefetched
+    out = list(iter_audio_prefetched(wavs, depth=2))
+    assert [p for p, _ in out] == wavs  # input order preserved
+    for _, clip in out:
+        assert not clip.is_null()
+        assert clip.num_frames == int(0.4 * SR)
+
+    with pytest.raises(RuntimeError, match="failed to load"):
+        list(iter_audio_prefetched([wavs[0], str(tmp_path / "nope.wav")]))
