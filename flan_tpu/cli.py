@@ -49,19 +49,17 @@ def _save_all(clips, paths, out_dir: str) -> None:
 
 
 def _maybe_batch(fn, clips, paths, out_dir):
-    """One clip: run directly. Several same-channel clips: shard the batch
-    over the mesh (zero collectives; padding clips to the longest)."""
+    """Several clips of equal shape: shard the batch over the mesh (zero
+    collectives). Otherwise run clips directly - batching mixed lengths
+    would zero-pad the shorter ones and write padded-length outputs."""
     import jax
     from flan_tpu import Audio
     if len(clips) > 1 and len(jax.devices()) > 1 and \
-            len({c.num_channels for c in clips}) == 1:
+            len({(c.num_channels, c.num_frames) for c in clips}) == 1:
         from flan_tpu.parallel.batch import map_sharded
-        lens = [c.num_frames for c in clips]
         outs = map_sharded(fn, [c.data for c in clips])
         sr = clips[0].sample_rate
-        rendered = []
-        for out, n in zip(outs, lens):
-            rendered.append(Audio(data=out, sample_rate=sr))
+        rendered = [Audio(data=out, sample_rate=sr) for out in outs]
         _save_all(rendered, paths, out_dir)
     else:
         rendered = [c._with(data=fn(c.data)) for c in clips]

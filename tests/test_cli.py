@@ -74,3 +74,22 @@ def test_prefetching_loader(tmp_path, wavs):
 
     with pytest.raises(RuntimeError, match="failed to load"):
         list(iter_audio_prefetched([wavs[0], str(tmp_path / "nope.wav")]))
+
+
+def test_cli_stretch_mixed_lengths_not_padded(tmp_path):
+    """Mixed-length inputs must not get padded-length outputs (the batch
+    path pads to the longest; the CLI routes mixed lengths directly)."""
+    paths = []
+    for i, sec in enumerate((0.2, 0.4)):
+        t = np.arange(int(sec * SR), dtype=np.float32) / SR
+        a = Audio.create_from_array(
+            (0.4 * np.sin(2 * np.pi * 440 * t))[None], SR)
+        p = str(tmp_path / f"m{i}.wav")
+        a.save_to_file(p)
+        paths.append(p)
+    out = str(tmp_path / "mixed")
+    assert main(["stretch", "--factor", "2.0", out] + paths) == 0
+    o0 = Audio.load_from_file(str(tmp_path / "mixed" / "m0.wav"))
+    o1 = Audio.load_from_file(str(tmp_path / "mixed" / "m1.wav"))
+    assert o0.num_frames < 0.6 * SR          # ~0.4 s, not padded to 0.8 s
+    assert o1.num_frames > 0.7 * SR
