@@ -269,3 +269,49 @@ def test_save_spectrum_to_bmp(tmp_path):
     p = str(tmp_path / "spec.bmp")
     sine(440.0).save_spectrum_to_bmp(p)
     assert open(p, "rb").read(2) == b"BM"
+
+
+# --- SQPV pitch/Q math (reference SQPVBuffer.h/.cpp; algorithms dormant) --
+def test_sqpv_pitch_math_roundtrips():
+    from flan_tpu.sqpv.sqpv import SQPV
+    sq = SQPV.create(1, 4, bins_per_octave=12.0, sample_rate=SR,
+                     bandwidth=(55.0, 1760.0))
+    assert sq.bandwidth == (55.0, 1760.0)
+    # pitch <-> frequency <-> bin round trips
+    for f in (55.0, 440.0, 1759.0):
+        p = sq.frequency_to_pitch(f)
+        assert sq.pitch_to_frequency(p) == pytest.approx(f, rel=1e-6)
+        b = sq.pitch_to_bin(p)
+        assert sq.bin_to_pitch(b) == pytest.approx(p, rel=1e-9)
+    lo_p, hi_p = sq.pitch_bandwidth
+    assert 2.0 ** lo_p == pytest.approx(55.0)
+    assert 2.0 ** hi_p == pytest.approx(1760.0)
+    # 5 octaves at 12 bins/octave
+    assert SQPV.num_bins_for((55.0, 1760.0), 12.0) == 60
+    freqs = sq.bin_frequencies()
+    assert freqs[0] == pytest.approx(55.0, rel=0.01)
+    assert np.all(np.diff(freqs) > 0)
+    # Q cycles at the bin frequency, in frames
+    assert sq.get_period(0) == int(np.ceil(sq.q / freqs[0] * SR))
+
+
+# --- Wavetable range graphs / edit ops (reference Wavetable.cpp) ----------
+def test_wavetable_range_graph_and_remove_jumps(tmp_path):
+    from flan_tpu.wavetable import Wavetable
+    t = np.arange(int(SR), dtype=np.float32) / SR
+    a = Audio.create_from_array(
+        (0.5 * np.sin(2 * np.pi * 125.0 * t))[None], SR)
+    wt = Wavetable(a)
+    assert wt.get_num_waveforms() > 2
+    g = wt.graph_waveform_range(0, 0, 2)
+    assert (g.to_uint8().max(axis=-1) > 100).sum() > 100
+    p = str(tmp_path / "wt.bmp")
+    wt.save_waveform_range_to_bmp(p, 0, 0, 2)
+    assert open(p, "rb").read(2) == b"BM"
+    # remove_jumps pins waveform edges toward their mean
+    before = np.asarray(wt.table).copy()
+    wt.remove_jumps_in_place(fade_frames=8)
+    after = np.asarray(wt.table)
+    edge_gap = np.abs(after[..., 0] - after[..., -1])
+    edge_gap_before = np.abs(before[..., 0] - before[..., -1])
+    assert edge_gap.mean() <= edge_gap_before.mean() + 1e-6
