@@ -23,9 +23,20 @@ import sys
 from typing import List
 
 
-def _out_path(out_dir: str, in_path: str, suffix: str = "") -> str:
-    base = os.path.splitext(os.path.basename(in_path))[0]
-    return os.path.join(out_dir, base + suffix)
+def _out_paths(out_dir: str, in_paths: List[str],
+               suffix: str = ".wav") -> List[str]:
+    """Collision-free output names: inputs from different directories with
+    the same basename get _1, _2, ... suffixes instead of silently
+    overwriting each other."""
+    seen = {}
+    out = []
+    for p in in_paths:
+        base = os.path.splitext(os.path.basename(p))[0]
+        k = seen.get(base, 0)
+        seen[base] = k + 1
+        name = base if k == 0 else f"{base}_{k}"
+        out.append(os.path.join(out_dir, name + suffix))
+    return out
 
 
 def _load(paths: List[str]):
@@ -42,27 +53,31 @@ def _load(paths: List[str]):
 
 def _save_all(clips, paths, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
-    for clip, p in zip(clips, paths):
-        q = _out_path(out_dir, p, ".wav")
+    for clip, q in zip(clips, _out_paths(out_dir, paths)):
         clip.save_to_file(q)
         print(q)
 
 
-def _maybe_batch(fn, clips, paths, out_dir):
-    """Several clips of equal shape: shard the batch over the mesh (zero
-    collectives). Otherwise run clips directly - batching mixed lengths
-    would zero-pad the shorter ones and write padded-length outputs."""
+def _maybe_batch(make_fn, clips, paths, out_dir):
+    """Several clips of equal shape AND sample rate: shard the batch over
+    the mesh (zero collectives). Otherwise run clips directly, each with
+    its own sample rate - batching mixed lengths would zero-pad the
+    shorter ones, and a shared transform must not bake in clip 0's rate.
+
+    make_fn(sample_rate) -> jittable [C, N] -> [C, M] transform.
+    """
     import jax
     from flan_tpu import Audio
-    if len(clips) > 1 and len(jax.devices()) > 1 and \
-            len({(c.num_channels, c.num_frames) for c in clips}) == 1:
+    keys = {(c.num_channels, c.num_frames, c.sample_rate) for c in clips}
+    if len(clips) > 1 and len(jax.devices()) > 1 and len(keys) == 1:
         from flan_tpu.parallel.batch import map_sharded
-        outs = map_sharded(fn, [c.data for c in clips])
         sr = clips[0].sample_rate
+        outs = map_sharded(make_fn(sr), [c.data for c in clips])
         rendered = [Audio(data=out, sample_rate=sr) for out in outs]
         _save_all(rendered, paths, out_dir)
     else:
-        rendered = [c._with(data=fn(c.data)) for c in clips]
+        rendered = [c._with(data=make_fn(c.sample_rate)(c.data))
+                    for c in clips]
         _save_all(rendered, paths, out_dir)
 
 
@@ -107,27 +122,29 @@ def main(argv=None) -> int:
 
     if args.cmd == "stretch":
         clips = _load(args.inputs)
-        sr = clips[0].sample_rate
         from flan_tpu.pipelines import pv_stretch_pipeline
         _maybe_batch(
-            lambda x: pv_stretch_pipeline(x, args.factor,
-                                          sample_rate=float(sr)),
+            lambda sr: (lambda x: pv_stretch_pipeline(
+                x, args.factor, sample_rate=float(sr))),
             clips, args.inputs, args.out_dir)
     elif args.cmd == "repitch":
         clips = _load(args.inputs)
-        sr = clips[0].sample_rate
         from flan_tpu.pipelines import pv_repitch_pipeline
         _maybe_batch(
-            lambda x: pv_repitch_pipeline(x, args.factor,
-                                          sample_rate=float(sr)),
+            lambda sr: (lambda x: pv_repitch_pipeline(
+                x, args.factor, sample_rate=float(sr))),
             clips, args.inputs, args.out_dir)
     elif args.cmd == "morph":
         a, b = _load(args.inputs)
+        if a.sample_rate != b.sample_rate:
+            raise SystemExit(
+                f"morph inputs must share a sample rate "
+                f"({a.sample_rate:g} vs {b.sample_rate:g}); resample first")
         from flan_tpu.pipelines import pv_morph_pipeline
         out = pv_morph_pipeline(a.data, b.data, args.amount,
                                 sample_rate=float(a.sample_rate))
         os.makedirs(args.out_dir, exist_ok=True)
-        q = _out_path(args.out_dir, args.inputs[0], "_morph.wav")
+        q = _out_paths(args.out_dir, [args.inputs[0]], "_morph.wav")[0]
         a._with(data=out).save_to_file(q)
         print(q)
     elif args.cmd == "filter-lowpass":
@@ -142,8 +159,8 @@ def main(argv=None) -> int:
     elif args.cmd == "spectrogram":
         clips = _load(args.inputs)
         os.makedirs(args.out_dir, exist_ok=True)
-        for c, p in zip(clips, args.inputs):
-            q = _out_path(args.out_dir, p, ".bmp")
+        for c, q in zip(clips, _out_paths(args.out_dir, args.inputs,
+                                          ".bmp")):
             c.convert_to_PV().convert_to_graph().save_image(q)
             print(q)
     return 0

@@ -31,27 +31,47 @@ def iter_audio_prefetched(paths: Iterable[str],
     paths = list(paths)
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
     _SENTINEL = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that gives up when the consumer went away, so an
+        # abandoned iterator (break, or an error raised mid-stream) can
+        # never leak a thread blocked on a full queue
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         for p in paths:
+            if stop.is_set():
+                return
             try:
                 clip = Audio.load_from_file(p)
                 # stage host samples onto the device now, off the main
                 # thread, so the consumer's first op needs no H2D wait
                 data = jax.device_put(clip.data)
-                q.put((p, clip._with(data=data), None))
+                item = (p, clip._with(data=data), None)
             except Exception as e:  # surfaced in order on the consumer
-                q.put((p, None, e))
-        q.put(_SENTINEL)
+                item = (p, None, e)
+            if not _put(item):
+                return
+        _put(_SENTINEL)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            break
-        p, clip, err = item
-        if err is not None:
-            raise RuntimeError(f"failed to load {p}") from err
-        yield p, clip
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            p, clip, err = item
+            if err is not None:
+                raise RuntimeError(f"failed to load {p}") from err
+            yield p, clip
+    finally:
+        stop.set()
+        t.join()

@@ -123,7 +123,9 @@ def _cfft(zr: jnp.ndarray, zi: jnp.ndarray, m: int, inverse: bool,
     needed (output truncated to a*k2_cols) - the stage-2 matrix drops the
     dead columns.
     """
-    if m <= _DENSE_MAX:
+    if m <= _DENSE_MAX and not n1_rows and not k2_cols:
+        # the dense form takes full-length input and emits full output;
+        # the (currently unused) trim contracts stay on the staged path
         wb = jnp.asarray(_dense_mats_np(m, inverse))
         xb = jnp.concatenate([zr, zi], axis=-1)      # [..., 2m]
         out = jnp.einsum("...n,nk->...k", xb, wb,

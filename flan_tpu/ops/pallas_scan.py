@@ -53,12 +53,11 @@ _CHUNK = 32
 MIN_LEN = _SUB * _L * 8
 
 
+from flan_tpu.ops.stft import _cdiv
+
+
 def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
-
-
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

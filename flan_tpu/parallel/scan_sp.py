@@ -31,10 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from flan_tpu.ops.scan import (linear_scanned_maps,
                                matrix_affine_scanned_leaves)
-
-
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
+from flan_tpu.ops.stft import _cdiv
 
 
 def linear_recurrence_sp(a: jnp.ndarray, b: jnp.ndarray, mesh: Mesh,

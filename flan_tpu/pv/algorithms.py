@@ -264,14 +264,16 @@ def add_octaves(self, series):
                             lambda fr, h: fr * (2.0 ** h), n)
 
 
-def add_harmonics(self, series, max_harmonics: Optional[int] = 512):
+def add_harmonics(self, series, max_harmonics: Optional[int] = 1200):
     """(reference PV.cpp:415-419). The harmonic count is derived from the
     data: the lowest live partial determines how many harmonics can land
     inside the band, exactly the set the reference's per-MF while loop
     paints. max_harmonics bounds it (each harmonic is a full-plane scatter
     pass here, unlike the reference's per-partial loop, so one junk
-    near-zero-frequency bin must not drive thousands of passes); pass
-    None to trust the data unconditionally."""
+    near-zero-frequency bin must not drive thousands of passes). The
+    default 1200 covers every audible fundamental (20 Hz under a 24 kHz
+    band derives 1200), so only sub-audio junk is clipped; pass None to
+    trust the data unconditionally."""
     import warnings
     from flan_tpu.pv.pv import PV
     if self.is_null():

@@ -93,3 +93,34 @@ def test_cli_stretch_mixed_lengths_not_padded(tmp_path):
     o1 = Audio.load_from_file(str(tmp_path / "mixed" / "m1.wav"))
     assert o0.num_frames < 0.6 * SR          # ~0.4 s, not padded to 0.8 s
     assert o1.num_frames > 0.7 * SR
+
+
+def test_cli_basename_collision(tmp_path):
+    """Same-basename inputs from different directories must not overwrite
+    each other (round-2 review B, finding 1)."""
+    paths = []
+    for sub, freq in (("a", 300.0), ("b", 600.0)):
+        d = tmp_path / sub
+        d.mkdir()
+        t = np.arange(int(0.3 * SR), dtype=np.float32) / SR
+        Audio.create_from_array(
+            (0.4 * np.sin(2 * np.pi * freq * t))[None], SR).save_to_file(
+            str(d / "loop.wav"))
+        paths.append(str(d / "loop.wav"))
+    out = str(tmp_path / "c")
+    assert main(["resample", "--rate", "12000", out] + paths) == 0
+    import os
+    names = sorted(os.listdir(out))
+    assert names == ["loop.wav", "loop_1.wav"]
+
+
+def test_loader_abandonment_joins_producer(wavs):
+    """Breaking out of the prefetch iterator must not leak a blocked
+    producer thread (round-2 review B, finding 4)."""
+    import threading
+    from flan_tpu.io.loader import iter_audio_prefetched
+    before = threading.active_count()
+    it = iter_audio_prefetched(wavs * 4, depth=1)
+    next(it)
+    it.close()  # abandon: generator finally sets stop + joins
+    assert threading.active_count() <= before + 1
