@@ -194,6 +194,24 @@ def bench_spv():
     }
 
 
+def bench_repitch():
+    """Streaming fused PV repitch (constant factor fast path: the inverse
+    bin map is host-precomputed; was 6.2x before round 2)."""
+    from flan_tpu.pipelines import pv_repitch_pipeline
+    seconds = 60.0
+    x = _stereo_test_signal(seconds)
+
+    def run():
+        _sync(pv_repitch_pipeline(x, 1.5, sample_rate=48000.0))
+
+    best = _best_time(run, reps=2)
+    return {
+        "metric": "pv_repitch_fused_x_realtime_60s_stereo",
+        "value": round(seconds / best, 2),
+        "unit": "x_realtime",
+    }
+
+
 def bench_morph():
     """Config 5: spectral morph between two PVs with lambda controls."""
     from flan_tpu import Audio
@@ -245,7 +263,8 @@ def main():
         import os
         import subprocess
         for fn in ("bench_roundtrip", "bench_resample_filter",
-                   "bench_convolve_texture", "bench_morph", "bench_spv"):
+                   "bench_convolve_texture", "bench_morph", "bench_repitch",
+                   "bench_spv"):
             try:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--one",
