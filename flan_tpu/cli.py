@@ -44,10 +44,15 @@ def _load(paths: List[str]):
     # compute on clip k (SURVEY.md native checklist: host->HBM loader)
     from flan_tpu.io.loader import iter_audio_prefetched
     clips = []
-    for p, c in iter_audio_prefetched(paths):
-        if c.is_null():
-            raise SystemExit(f"could not read {p}")
-        clips.append(c)
+    try:
+        for p, c in iter_audio_prefetched(paths):
+            if c.is_null():
+                raise SystemExit(f"could not read {p}")
+            clips.append(c)
+    except RuntimeError as e:
+        # the prefetch thread wraps decode errors (unreadable/corrupt
+        # files) in RuntimeError; surface them like the is_null path
+        raise SystemExit(f"could not read: {e}") from e
     return clips
 
 

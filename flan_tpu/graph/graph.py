@@ -115,9 +115,13 @@ class Graph:
                 # matching the i0+1 fallback of the scalar form
                 starts = np.clip(idx[sel], 0, n - 1)
                 end_last = int(idx_next[sel[-1]])
-                if end_last < n:
-                    bounds = np.append(starts,
-                                       max(end_last, int(starts[-1]) + 1))
+                # reduceat bounds must lie in [0, n); when the final span
+                # already reaches the last sample, the implicit trailing
+                # segment [starts[-1], n) is exactly the span we want, so
+                # no extra bound is appended (appending n would raise).
+                end = max(end_last, int(starts[-1]) + 1)
+                if end < n:
+                    bounds = np.append(starts, end)
                     trim = slice(0, -1)
                 else:
                     bounds = starts

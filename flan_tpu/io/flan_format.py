@@ -42,8 +42,8 @@ def write_flan(path: str, mag: np.ndarray, freq: np.ndarray,
     """Save [channels, frames, bins] mag/freq arrays as a .flan file."""
     # pre-cast to float32 exactly like the native path (flan_native.cpp
     # pack_mf24 takes f32) so fallback and native files are byte-identical
-    mag = np.asarray(mag, dtype=np.float32).astype(np.float64)
-    freq = np.asarray(freq, dtype=np.float32).astype(np.float64)
+    mag = np.asarray(mag, dtype=np.float32)
+    freq = np.asarray(freq, dtype=np.float32)
     num_channels, num_frames, num_bins = mag.shape
     dft_size = 2 * (num_bins - 1)
 
@@ -51,11 +51,13 @@ def write_flan(path: str, mag: np.ndarray, freq: np.ndarray,
     data_bytes = native.pack_mf24(mag, freq, float(dft_size),
                                   float(sample_rate))
     if data_bytes is None:
-        # quantize: clamp to [-1, 1], scale by 2^23, truncate toward zero
-        m_q = np.trunc(np.clip(mag / dft_size, -1.0, 1.0)
-                       * _LIMIT).astype(np.int32)
-        f_q = np.trunc(np.clip(freq / sample_rate, -1.0, 1.0)
-                       * _LIMIT).astype(np.int32)
+        # quantize bit-exactly like the reference save loop
+        # (PVBuffer.cpp:112-113): float32 division and clamp, then widen
+        # to float64, scale by 2^23, truncate toward zero
+        m_q = np.trunc(np.clip(mag / np.float32(dft_size), -1.0, 1.0)
+                       .astype(np.float64) * _LIMIT).astype(np.int32)
+        f_q = np.trunc(np.clip(freq / np.float32(sample_rate), -1.0, 1.0)
+                       .astype(np.float64) * _LIMIT).astype(np.int32)
         # interleave (m, f) per bin in channel->frame->bin order
         inter = np.stack([m_q, f_q], axis=-1)  # [C, F, B, 2]
         data_bytes = _pack_i24(inter).tobytes()
@@ -103,8 +105,11 @@ def read_flan(path: str) -> Tuple[np.ndarray, np.ndarray, float, int, int]:
         return (mag.reshape(shape), freq.reshape(shape),
                 float(sample_rate), int(hop_size), int(window_size))
 
-    vals = _unpack_i24(raw.reshape(-1, 3)).astype(np.float64) / _LIMIT
+    # bit-exact with the reference load lambda (PVBuffer.cpp:260-266):
+    # round int/2^23 to float32 BEFORE the float32 multiply by the scale
+    vals = (_unpack_i24(raw.reshape(-1, 3)).astype(np.float64)
+            / _LIMIT).astype(np.float32)
     inter = vals.reshape(num_channels, num_frames, num_bins, 2)
-    mag = (inter[..., 0] * dft_size).astype(np.float32)
-    freq = (inter[..., 1] * sample_rate).astype(np.float32)
+    mag = inter[..., 0] * np.float32(dft_size)
+    freq = inter[..., 1] * np.float32(sample_rate)
     return mag, freq, float(sample_rate), int(hop_size), int(window_size)

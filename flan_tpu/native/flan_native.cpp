@@ -129,14 +129,16 @@ int flan_encode_pcm(const float* in, int64_t num_frames,
 // ---------------------------------------------------------------------------
 int flan_pack_mf24(const float* mag, const float* freq, int64_t count,
                    float mag_scale, float freq_scale, uint8_t* out) {
+    // Bit-exact with the reference save loop (PVBuffer.cpp:112-113):
+    // float division, float clamp, THEN widen to double and scale.
     const double limit = 8388608.0;
     for (int64_t i = 0; i < count; ++i) {
-        const double m = std::min(1.0, std::max(
-            -1.0, static_cast<double>(mag[i]) / mag_scale));
-        const double f = std::min(1.0, std::max(
-            -1.0, static_cast<double>(freq[i]) / freq_scale));
-        const int32_t mi = static_cast<int32_t>(m * limit);
-        const int32_t fi = static_cast<int32_t>(f * limit);
+        const float m = std::min(1.0f, std::max(-1.0f, mag[i] / mag_scale));
+        const float f = std::min(1.0f, std::max(-1.0f, freq[i] / freq_scale));
+        const int32_t mi = static_cast<int32_t>(
+            static_cast<double>(m) * limit);
+        const int32_t fi = static_cast<int32_t>(
+            static_cast<double>(f) * limit);
         uint8_t* p = out + 6 * i;
         p[0] = mi & 0xFF; p[1] = (mi >> 8) & 0xFF; p[2] = (mi >> 16) & 0xFF;
         p[3] = fi & 0xFF; p[4] = (fi >> 8) & 0xFF; p[5] = (fi >> 16) & 0xFF;
@@ -157,8 +159,10 @@ int flan_unpack_mf24(const uint8_t* raw, int64_t count, float mag_scale,
                      (static_cast<int32_t>(p[5]) << 16);
         if (mi & 0x800000) mi |= 0xFF000000;
         if (fi & 0x800000) fi |= 0xFF000000;
-        mag[i] = static_cast<float>(mi / limit * mag_scale);
-        freq[i] = static_cast<float>(fi / limit * freq_scale);
+        // Bit-exact with the reference load lambda (PVBuffer.cpp:260-266):
+        // round to float BEFORE the float multiply by the scale.
+        mag[i] = static_cast<float>(mi / limit) * mag_scale;
+        freq[i] = static_cast<float>(fi / limit) * freq_scale;
     }
     return 0;
 }

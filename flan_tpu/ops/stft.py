@@ -98,9 +98,10 @@ def irfft_polar(mag: jnp.ndarray, phase: jnp.ndarray, n: int,
                 out_len: int = 0):
     """Inverse real FFT of mag * exp(i phase) [..., n//2+1] -> [..., n].
 
-    out_len > 0: only samples below out_len are needed (the OLA synthesis
-    keeps window_size of dft_size); the MXU form skips the dead stage-2
-    outputs, so the result is [..., >= out_len] - callers still slice.
+    out_len > 0 records caller intent only (the OLA synthesis keeps
+    window_size of dft_size): irfft_mxu documents trimming the dead
+    stage-2 outputs as a measured-slower no-op and always computes the
+    full transform - callers still slice.
     """
     re = mag * jnp.cos(phase)
     im = mag * jnp.sin(phase)

@@ -1,8 +1,10 @@
 """Pallas lane-parallel recurrence vs the tiled associative scan.
 
 Runs under pallas interpret mode on CPU (the real kernel path compiles
-only on TPU); the same code is the TPU fast path for time-varying
-filters.
+only on TPU). The kernel is a reference implementation that is NOT wired
+into the filter paths: on-chip measurement showed the tiled XLA scan is
+~3x faster for the shapes here (see ops/pallas_scan.py and
+docs/STATUS.md item 18), so it is kept for future RDMA/kernel work only.
 """
 import numpy as np
 import pytest
