@@ -194,6 +194,27 @@ def bench_spv():
     }
 
 
+def bench_sqpv():
+    """Activated sliding constant-Q transform round trip, 10 s mono 48 kHz
+    (dormant in the reference: AudioSQPV.cpp commented out; activated in
+    flan_tpu/sqpv/transform.py as chunked modulated prefix sums)."""
+    from flan_tpu import Audio
+    seconds = 10.0
+    x = _stereo_test_signal(seconds)[0:1]
+    a = Audio(data=x, sample_rate=48000.0)
+
+    def run():
+        sq = a.convert_to_SQPV((16.0, 24000.0), 24.0)
+        _sync(sq.convert_to_audio().data)
+
+    best = _best_time(run, reps=2)
+    return {
+        "metric": "sqpv_roundtrip_x_realtime_10s_mono_48k",
+        "value": round(seconds / best, 2),
+        "unit": "x_realtime",
+    }
+
+
 def bench_repitch():
     """Streaming fused PV repitch (constant factor fast path: the inverse
     bin map is host-precomputed; was 6.2x before round 2)."""
@@ -264,7 +285,7 @@ def main():
         import subprocess
         for fn in ("bench_roundtrip", "bench_resample_filter",
                    "bench_convolve_texture", "bench_morph", "bench_repitch",
-                   "bench_spv"):
+                   "bench_spv", "bench_sqpv"):
             try:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--one",

@@ -90,6 +90,27 @@ class Audio(AudioBuffer):
     def copy(self) -> "Audio":
         return self._with(data=self.data)
 
+    @staticmethod
+    def match_sample_rates_or_return_null(ins):
+        """If all inputs share a sample rate, return []; else return every
+        input resampled to the highest rate
+        (reference AudioCombination.cpp:17-35)."""
+        ins = list(ins)
+        if not ins:
+            return []
+        max_sr = max(a.sample_rate for a in ins)
+        if all(a.sample_rate == max_sr for a in ins):
+            return []
+        return [a.resample(max_sr) for a in ins]
+
+    def sample_function_over_domain(self, f):
+        """Rasterize a Function over sample times, period 1/sample_rate
+        (reference Audio.h:34-38). Constants stay O(1)."""
+        from flan_tpu.func.function_sample import FunctionSample
+        fn = as_function(f)
+        vals = fn.sample(0, self.num_frames, 1.0 / self.sample_rate)
+        return FunctionSample(vals, self.num_frames)
+
     # =======================================================================
     # Conversions (reference Audio.h:101-234)
     # =======================================================================
@@ -143,19 +164,26 @@ class Audio(AudioBuffer):
 
     def convert_to_SQPV(self, bandwidth=(16.0, 24000.0),
                         bins_per_octave: float = 24.0):
-        """Constant-Q container (reference Audio.h:197-205). The
-        reference's SQPV algorithm layer is entirely commented out
-        (SQPV/SQPV.cpp:1, Conversions/AudioSQPV.cpp:1); as there, the
-        buffer type exists but no transform is performed."""
-        raise NotImplementedError(
-            "convert_to_SQPV is dormant in the reference (AudioSQPV.cpp "
-            "is commented out); the SQPV container is available as "
-            "flan_tpu.sqpv.SQPV")
+        """Sliding constant-Q transform (reference Audio.h:197-205).
+        The reference ships this algorithm written but commented out
+        (Conversions/AudioSQPV.cpp:64-121, "Sliding With A Constant-Q",
+        DAFx-08); here it is activated — see flan_tpu/sqpv/transform.py
+        for the TPU-native modulated-prefix-sum formulation."""
+        from flan_tpu.sqpv import SQPV
+        from flan_tpu.sqpv.transform import sqpv_forward
+        if self.is_null():
+            return SQPV.create_null()
+        mag, pitch, positive = sqpv_forward(
+            self.data, float(self.sample_rate), float(bins_per_octave),
+            (float(bandwidth[0]), float(bandwidth[1])))
+        return SQPV(mag=mag, pitch=pitch, positive=positive,
+                    sample_rate=float(self.sample_rate),
+                    bins_per_octave=float(bins_per_octave),
+                    bandwidth=(float(bandwidth[0]), float(bandwidth[1])))
 
     def convert_to_ms_SQPV(self, bandwidth=(16.0, 24000.0),
                            bins_per_octave: float = 24.0):
-        """(reference Audio.h:202-205; dormant upstream like
-        convert_to_SQPV)."""
+        """(reference AudioSQPV.cpp:123-126, activated here)."""
         return self.convert_to_mid_side().convert_to_SQPV(
             bandwidth, bins_per_octave)
 

@@ -63,16 +63,21 @@ def _save_all(clips, paths, out_dir: str) -> None:
         print(q)
 
 
-def _maybe_batch(make_fn, clips, paths, out_dir):
+def _maybe_batch(make_fn, clips, paths, out_dir, cancel=None):
     """Several clips of equal shape AND sample rate: shard the batch over
     the mesh (zero collectives). Otherwise run clips directly, each with
     its own sample rate - batching mixed lengths would zero-pad the
     shorter ones, and a shared transform must not bake in clip 0's rate.
 
     make_fn(sample_rate) -> jittable [C, N] -> [C, M] transform.
+    cancel: optional flan_tpu.utils.cancel.CancelToken, polled between
+    clip dispatches (the host-side flan_CANCEL_POINT analog; see
+    utils/cancel.py for the design decision).
     """
     import jax
     from flan_tpu import Audio
+    if cancel is not None:
+        cancel.check()
     keys = {(c.num_channels, c.num_frames, c.sample_rate) for c in clips}
     if len(clips) > 1 and len(jax.devices()) > 1 and len(keys) == 1:
         from flan_tpu.parallel.batch import map_sharded
@@ -81,12 +86,17 @@ def _maybe_batch(make_fn, clips, paths, out_dir):
         rendered = [Audio(data=out, sample_rate=sr) for out in outs]
         _save_all(rendered, paths, out_dir)
     else:
-        rendered = [c._with(data=make_fn(c.sample_rate)(c.data))
-                    for c in clips]
+        rendered = []
+        for c in clips:
+            if cancel is not None:
+                cancel.check()
+            rendered.append(c._with(data=make_fn(c.sample_rate)(c.data)))
         _save_all(rendered, paths, out_dir)
 
 
-def main(argv=None) -> int:
+def main(argv=None, cancel=None) -> int:
+    """cancel: optional flan_tpu.utils.cancel.CancelToken honored between
+    clip dispatches (see utils/cancel.py for the design decision)."""
     ap = argparse.ArgumentParser(
         prog="flan_tpu", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -131,14 +141,14 @@ def main(argv=None) -> int:
         _maybe_batch(
             lambda sr: (lambda x: pv_stretch_pipeline(
                 x, args.factor, sample_rate=float(sr))),
-            clips, args.inputs, args.out_dir)
+            clips, args.inputs, args.out_dir, cancel)
     elif args.cmd == "repitch":
         clips = _load(args.inputs)
         from flan_tpu.pipelines import pv_repitch_pipeline
         _maybe_batch(
             lambda sr: (lambda x: pv_repitch_pipeline(
                 x, args.factor, sample_rate=float(sr))),
-            clips, args.inputs, args.out_dir)
+            clips, args.inputs, args.out_dir, cancel)
     elif args.cmd == "morph":
         a, b = _load(args.inputs)
         if a.sample_rate != b.sample_rate:

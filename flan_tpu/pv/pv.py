@@ -57,6 +57,24 @@ class PV(PVBuffer):
     def copy(self) -> "PV":
         return self._with(mag=self.mag, freq=self.freq)
 
+    # --- Function sampling conveniences (reference PV.h:31-48) ---------------
+    def sample_function_over_domain(self, f):
+        """Rasterize a Function over the frame x bin grid: time step
+        1/analysis_rate, frequency step bin_width
+        (reference PV.h:32-35). Constants stay O(1)."""
+        from flan_tpu.func.function_sample import FunctionSample2d
+        fn = as_function2d(f)
+        vals = fn.sample_grid(self.num_frames, 1.0 / self.analysis_rate,
+                              self.num_bins, self.bin_width)
+        return FunctionSample2d(vals, self.num_frames, self.num_bins)
+
+    def sample_function_over_time_domain(self, f):
+        """Rasterize a Function over frame times (reference PV.h:38-48)."""
+        from flan_tpu.func.function_sample import FunctionSample
+        fn = as_function(f)
+        vals = fn.sample(0, self.num_frames, 1.0 / self.analysis_rate)
+        return FunctionSample(vals, self.num_frames)
+
     def _with(self, **kwargs) -> "PV":
         return dataclasses.replace(self, **kwargs)
 

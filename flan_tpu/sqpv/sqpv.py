@@ -1,12 +1,13 @@
-"""SQPV: sliding constant-Q phase-vocoder buffer.
+"""SQPV: sliding constant-Q phase-vocoder buffer and algorithms.
 
 TPU-native port of the reference SQPVBuffer
 (reference: src/flan/SQPV/SQPVBuffer.h:14-79, SQPVBuffer.cpp:17-31,
-Utility/MP.h:9-33). As in the reference, only the buffer layer is live: the
-algorithm layer above it (SQPV/SQPV.cpp, Conversions/AudioSQPV.cpp) is
-entirely commented out upstream, so this type provides the container,
-pitch/bin unit conversions, and Q math for interchange and future
-algorithms.
+Utility/MP.h:9-33). The algorithm layer above the buffer is written but
+entirely commented out upstream (SQPV/SQPV.cpp:1,
+Conversions/AudioSQPV.cpp:1); here it is ACTIVATED: the sliding
+constant-Q transform lives in flan_tpu/sqpv/transform.py and the
+buffer-level algorithms (convert_to_audio, modify_pitch, repitch, select,
+convert_to_graph) below follow the intent of that dormant code.
 
 Data is SoA: magnitude and *pitch* (log2 |frequency|) planes plus a sign
 plane tracking negative frequencies (the reference packs a bool into its MP
@@ -135,3 +136,131 @@ class SQPV:
 
     def _with(self, **kwargs) -> "SQPV":
         return dataclasses.replace(self, **kwargs)
+
+    def copy(self) -> "SQPV":
+        return self._with()
+
+    def get_max_partial_magnitude(self) -> float:
+        return float(jnp.max(jnp.abs(self.mag))) if not self.is_null() \
+            else 0.0
+
+    # --- Algorithms (activating the dormant reference SQPV/SQPV.cpp) ---------
+    def modify_pitch(self, mod) -> "SQPV":
+        """Replace each MP's pitch with mod(time, pitch)
+        (reference SQPV.cpp:71-89, dormant upstream)."""
+        if self.is_null():
+            return SQPV.create_null()
+        from flan_tpu.func.function import as_function2d
+        fn = as_function2d(mod)
+        t = jnp.arange(self.num_frames,
+                       dtype=jnp.float32)[None, :, None] / self.sample_rate
+        tt = jnp.broadcast_to(t, self.pitch.shape)
+        new_pitch = jnp.broadcast_to(
+            jnp.asarray(fn(tt, self.pitch), jnp.float32), self.pitch.shape)
+        return self._with(pitch=new_pitch)
+
+    def repitch(self, factor) -> "SQPV":
+        """Scale each MP's frequency by factor(time, pitch)
+        (reference SQPV.h:24, dormant upstream). Pitch is log2 |frequency|,
+        so a frequency factor is a pitch offset of log2(factor); this
+        mirrors the live SPV::repitch (SPV.cpp:41-44), which multiplies
+        frequency by the sampled factor."""
+        from flan_tpu.func.function import as_function2d
+        fn = as_function2d(factor)
+        return self.modify_pitch(
+            lambda t, p: p + jnp.log2(jnp.maximum(
+                jnp.abs(jnp.asarray(fn(t, p), jnp.float32)), 1e-12)))
+
+    def select(self, length: float, selector) -> "SQPV":
+        """Gather frames through selector(time, pitch) -> selected time,
+        time-interpolating magnitudes and keeping the dominant side's pitch
+        (reference SQPV.cpp:91-142, dormant upstream; as there, the
+        selected pitch chooses the source *time* only — data stays in its
+        bin — and out-of-range selections produce zeros)."""
+        if self.is_null() or length <= 0:
+            return SQPV.create_null()
+        from flan_tpu.func.function import as_function2d
+        fn = as_function2d(selector)
+        out_frames = int(length * self.sample_rate)
+        t = jnp.arange(out_frames,
+                       dtype=jnp.float32)[None, :, None] / self.sample_rate
+        pitches = jnp.asarray(
+            [self.bin_to_pitch(b) for b in range(self.num_bins)],
+            jnp.float32)[None, None, :]
+        sel_t = jnp.asarray(fn(jnp.broadcast_to(t, (1, out_frames,
+                                                    self.num_bins)),
+                               jnp.broadcast_to(pitches,
+                                                (1, out_frames,
+                                                 self.num_bins))),
+                            jnp.float32)
+        sel_frame = jnp.broadcast_to(sel_t * self.sample_rate,
+                                     (1, out_frames, self.num_bins))[0]
+        lo = jnp.floor(sel_frame)
+        mix = sel_frame - lo
+        valid = (sel_frame >= 0) & (sel_frame < self.num_frames - 1)
+        lo_i = jnp.clip(lo.astype(jnp.int32), 0, self.num_frames - 1)
+        hi_i = jnp.clip(lo_i + 1, 0, self.num_frames - 1)
+
+        def gather(plane, idx):
+            return jnp.take_along_axis(plane, idx[None], axis=1)
+
+        bcast_lo = jnp.broadcast_to(lo_i, (out_frames, self.num_bins))
+        bcast_hi = jnp.broadcast_to(hi_i, (out_frames, self.num_bins))
+        m_l = jnp.concatenate([gather(self.mag[c:c + 1], bcast_lo)
+                               for c in range(self.num_channels)], axis=0)
+        m_r = jnp.concatenate([gather(self.mag[c:c + 1], bcast_hi)
+                               for c in range(self.num_channels)], axis=0)
+        p_l = jnp.concatenate([gather(self.pitch[c:c + 1], bcast_lo)
+                               for c in range(self.num_channels)], axis=0)
+        p_r = jnp.concatenate([gather(self.pitch[c:c + 1], bcast_hi)
+                               for c in range(self.num_channels)], axis=0)
+        s_l = jnp.concatenate([gather(self.positive[c:c + 1], bcast_lo)
+                               for c in range(self.num_channels)], axis=0)
+        s_r = jnp.concatenate([gather(self.positive[c:c + 1], bcast_hi)
+                               for c in range(self.num_channels)], axis=0)
+        w1 = (1.0 - mix)[None] * m_l
+        w2 = mix[None] * m_r
+        vmask = valid[None].astype(jnp.float32)
+        mag = (w1 + w2) * vmask
+        left_wins = w1 > w2
+        pitch = jnp.where(left_wins, p_l, p_r) * vmask
+        positive = jnp.where(left_wins, s_l, s_r) | ~valid[None]
+        return self._with(mag=mag, pitch=pitch, positive=positive)
+
+    # --- Conversions (activating the dormant AudioSQPV.cpp inverse) ----------
+    def convert_to_audio(self):
+        from flan_tpu.audio.audio import Audio
+        from flan_tpu.sqpv.transform import sqpv_inverse
+        if self.is_null():
+            return Audio.create_null()
+        data = sqpv_inverse(self.mag, self.pitch, self.positive,
+                            self.sample_rate, self.bins_per_octave,
+                            self.bandwidth)
+        return Audio(data=data, sample_rate=float(self.sample_rate))
+
+    def convert_to_lr_audio(self):
+        """(reference AudioSQPV.cpp:167-170, dormant upstream)."""
+        return self.convert_to_audio().convert_to_left_right()
+
+    def convert_to_graph(self, width: int = -1, height: int = -1):
+        """Pitch-axis magnitude spectrogram, sqrt scaling to bring up dark
+        areas (reference SQPV.cpp:21-68, dormant upstream)."""
+        from flan_tpu.graph.graph import Graph
+        from flan_tpu.utils.geometry import Rect
+        g = Graph(width, height)
+        if self.is_null():
+            return g
+        lo_p, hi_p = self.pitch_bandwidth
+        domain = Rect(0.0, lo_p, self.num_frames / self.sample_rate, hi_p)
+        max_mag = self.get_max_partial_magnitude()
+        g.add_full_split_view_y(domain, self.num_channels)
+        if max_mag > 0:
+            vals = jnp.sqrt(jnp.abs(self.mag) / max_mag)
+            vals_np = np.asarray(jnp.clip(vals, 0.0, 1.0))
+            g.draw_spectrograms(
+                [vals_np[c] for c in range(self.num_channels)], domain)
+        return g
+
+    def save_to_bmp(self, filename: str, width: int = -1,
+                    height: int = -1) -> None:
+        self.convert_to_graph(width, height).save_image(filename)

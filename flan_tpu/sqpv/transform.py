@@ -1,0 +1,218 @@
+"""Audio <-> SQPV conversions: the sliding constant-Q transform, activated.
+
+The reference ships this algorithm written but commented out
+(reference: src/flan/Conversions/AudioSQPV.cpp:1-170, following "Sliding
+With A Constant-Q", DAFx-08). Per bin k with period N_k = ceil(Q*sr/f_k)
+and twiddles a_{k,j} = exp(i*2pi*(Q+j)/N_k), j in {-1,0,+1}, it runs the
+per-sample recurrence
+
+    F_j[t] = a_{k,j} * ( F_j[t-1] + (fiddle * x[t+N_k/2] - x[t-N_k/2])/N_k )
+
+then hann-windows spectrally (0.5*F_0 - 0.25*(F_-1 + F_+1)) and phase
+vocodes at analysis_rate == sample_rate.
+
+TPU-native formulation: the recurrence has |a| == 1, so each chunk of L
+frames is one modulated prefix sum,
+
+    F[j] = a^(j+1) * ( F_prev + sum_{i<=j} a^(-i) u[i] ),   j in [0, L)
+
+with the inner cumsum as a lower-triangular MXU matmul and the a^(-i) /
+a^(j+1) tables host-precomputed in float64 (they depend only on the local
+index, so no table grows with signal length and only the per-chunk carry
+accumulates rounding). Peak HBM is O(chunk x bins), mirroring the SPV
+streaming scan. The reference's implicit float->int truncation of the
+half-period sample offsets (AudioSQPV.cpp:100-103: frame +- N_k/2.0f
+passed to an integer-argument lambda) is reproduced exactly by computing
+trunc indices in-trace.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_CHUNK = 256
+
+
+def _cq_params(sample_rate: float, bins_per_octave: float,
+               bandwidth: Tuple[float, float]):
+    """Host-side constant-Q geometry (reference SQPVBuffer.cpp:17-31)."""
+    q = 1.0 / (2.0 ** (1.0 / bins_per_octave) - 1.0)
+    lo_pitch = math.log2(bandwidth[0])
+    hi_pitch = math.log2(bandwidth[1])
+    nbins = int(math.ceil((hi_pitch - lo_pitch) * bins_per_octave))
+    freqs = 2.0 ** (np.arange(nbins) / bins_per_octave + lo_pitch)
+    periods = np.ceil(q * sample_rate / freqs).astype(np.int64)
+    return q, nbins, freqs, periods
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sample_rate", "bins_per_octave", "bandwidth", "chunk"))
+def _sqpv_forward_scan(x, *, sample_rate: float, bins_per_octave: float,
+                       bandwidth: Tuple[float, float], chunk: int = _CHUNK):
+    from flan_tpu.ops.stft import _wrap_radians
+    c, n = x.shape
+    L = chunk
+    q, nbins, freqs, periods = _cq_params(sample_rate, bins_per_octave,
+                                          bandwidth)
+
+    # warmup: the reference starts each bin at floor(-N_k/2 - 1)
+    # (AudioSQPV.cpp:98); u is exactly zero before the window slides in, so
+    # one global start at the earliest bin is identical.
+    w0 = int(periods.max() // 2 + 2)
+    total = w0 + n
+    nchunks = -(-total // L)
+    tpad = nchunks * L
+
+    # host tables (float64 -> float32): local-index twiddle powers
+    jv = np.array([-1.0, 0.0, 1.0])
+    theta = 2.0 * np.pi * (q + jv[None, :]) / periods[:, None]  # [B, 3]
+    i_loc = np.arange(L, dtype=np.float64)
+    t1 = np.exp(-1j * i_loc[:, None, None] * theta[None])       # a^{-i}
+    t2 = np.exp(1j * (i_loc + 1.0)[:, None, None] * theta[None])  # a^{j+1}
+    t1_re = jnp.asarray(t1.real, jnp.float32)
+    t1_im = jnp.asarray(t1.imag, jnp.float32)
+    t2_re = jnp.asarray(t2.real, jnp.float32)
+    t2_im = jnp.asarray(t2.imag, jnp.float32)
+
+    fiddle = np.exp(-1j * 2.0 * np.pi * q)  # AudioSQPV.cpp:82
+    half = jnp.asarray(periods.astype(np.float64) * 0.5, jnp.float32)
+    inv_n = jnp.asarray(1.0 / periods.astype(np.float64), jnp.float32)
+    bin_freq = jnp.asarray(freqs, jnp.float32)
+    expected = bin_freq / sample_rate * (2.0 * jnp.pi)
+
+    tri = jnp.asarray(np.tril(np.ones((L, L), np.float32)))
+
+    def sample_at(tvals, offset_sign):
+        # trunc(t + sign*N_k/2) with C++ toward-zero semantics; OOB -> 0
+        idx = jnp.trunc(tvals[None, :] + offset_sign * half[:, None])
+        valid = (idx >= 0) & (idx < n)
+        idx_c = jnp.clip(idx, 0, n - 1).astype(jnp.int32)
+        vals = jnp.take(x, idx_c.reshape(-1), axis=1)
+        vals = vals.reshape(c, nbins, L) * valid[None].astype(jnp.float32)
+        return vals  # [C, B, L]
+
+    def cumsum_l(v):  # [C, L, B*3] inclusive cumsum over axis 1 on the MXU
+        return jnp.einsum("gf,cfk->cgk", tri, v,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    def body(carry, t0):
+        f_re, f_im, prev_phase = carry  # [C, B, 3], [C, B, 3], [C, B]
+        tvals = (t0 + jnp.arange(L, dtype=jnp.float32)) - float(w0)
+        new = sample_at(tvals, +1.0)                     # [C, B, L]
+        old = sample_at(tvals, -1.0)
+        u_re = ((fiddle.real * new - old) * inv_n[None, :, None]
+                ).transpose(0, 2, 1)                     # [C, L, B]
+        u_im = ((fiddle.imag * new) * inv_n[None, :, None]).transpose(0, 2, 1)
+
+        # v = a^{-i} * u, broadcast over the three twiddle lines
+        v_re = u_re[..., None] * t1_re[None] - u_im[..., None] * t1_im[None]
+        v_im = u_re[..., None] * t1_im[None] + u_im[..., None] * t1_re[None]
+        s_re = cumsum_l(v_re.reshape(c, L, nbins * 3)).reshape(v_re.shape)
+        s_im = cumsum_l(v_im.reshape(c, L, nbins * 3)).reshape(v_im.shape)
+        s_re = s_re + f_re[:, None]
+        s_im = s_im + f_im[:, None]
+        # F = a^{j+1} * (F_prev + cumsum)
+        F_re = s_re * t2_re[None] - s_im * t2_im[None]   # [C, L, B, 3]
+        F_im = s_re * t2_im[None] + s_im * t2_re[None]
+
+        # spectral hann window (AudioSQPV.cpp:110-112):
+        # 0.5 * F_0 - 0.25 * (F_-1 + F_+1)
+        fw_re = 0.5 * F_re[..., 1] - 0.25 * (F_re[..., 0] + F_re[..., 2])
+        fw_im = 0.5 * F_im[..., 1] - 0.25 * (F_im[..., 0] + F_im[..., 2])
+
+        mag = jnp.sqrt(fw_re * fw_re + fw_im * fw_im)
+        phase = jnp.arctan2(fw_im, fw_re)
+        prev = jnp.concatenate([prev_phase[:, None, :], phase[:, :-1]],
+                               axis=1)
+        # analysis_rate == sample_rate, so the reference skips wrapping
+        # (phase_vocoder.cpp:37); as in spv.py we wrap deliberately so that
+        # +-pi boundary crossings don't alias under pitch arithmetic.
+        delta = _wrap_radians(phase - prev - expected[None, None, :])
+        freq = bin_freq[None, None, :] + delta * (sample_rate
+                                                  / (2.0 * jnp.pi))
+
+        new_carry = (F_re[:, -1], F_im[:, -1], phase[:, -1])
+        return new_carry, (mag.astype(jnp.float32),
+                           freq.astype(jnp.float32))
+
+    init = (jnp.zeros((c, nbins, 3), jnp.float32),
+            jnp.zeros((c, nbins, 3), jnp.float32),
+            jnp.zeros((c, nbins), jnp.float32))
+    t0s = (jnp.arange(nchunks) * L).astype(jnp.float32)
+    _, (mags, freqs_out) = jax.lax.scan(body, init, t0s)
+    mags = mags.transpose(1, 0, 2, 3).reshape(c, tpad, nbins)
+    freqs_out = freqs_out.transpose(1, 0, 2, 3).reshape(c, tpad, nbins)
+    mag = mags[:, w0:w0 + n]
+    freq = freqs_out[:, w0:w0 + n]
+    pitch = jnp.log2(jnp.maximum(jnp.abs(freq), 1e-12))
+    positive = freq >= 0
+    return mag, pitch, positive
+
+
+def sqpv_forward(x: jnp.ndarray, sample_rate: float,
+                 bins_per_octave: float,
+                 bandwidth: Tuple[float, float]):
+    """Audio [C, N] -> (mag, pitch, positive) each [C, N, B]."""
+    return _sqpv_forward_scan(
+        x, sample_rate=float(sample_rate),
+        bins_per_octave=float(bins_per_octave),
+        bandwidth=(float(bandwidth[0]), float(bandwidth[1])))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sample_rate", "bins_per_octave", "bandwidth", "chunk"))
+def _sqpv_inverse_scan(mag, pitch, positive, *, sample_rate: float,
+                       bins_per_octave: float,
+                       bandwidth: Tuple[float, float], chunk: int = _CHUNK):
+    from flan_tpu.ops.stft import cumsum_mod1_frames
+    c, f, b = mag.shape
+    q, nbins, freqs, periods = _cq_params(sample_rate, bins_per_octave,
+                                          bandwidth)
+    assert b == nbins, (b, nbins)
+    # synthesis rotation (AudioSQPV.cpp:133): exp(i*2pi*Q/N_k)
+    tw = np.exp(1j * 2.0 * np.pi * q / periods.astype(np.float64))
+    tw_re = jnp.asarray(tw.real, jnp.float32)
+    tw_im = jnp.asarray(tw.imag, jnp.float32)
+
+    nchunks = -(-f // chunk)
+    fpad = nchunks * chunk
+    if fpad != f:
+        mag = jnp.pad(mag, [(0, 0), (0, fpad - f), (0, 0)])
+        pitch = jnp.pad(pitch, [(0, 0), (0, fpad - f), (0, 0)])
+        positive = jnp.pad(positive, [(0, 0), (0, fpad - f), (0, 0)])
+    sign = jnp.where(positive, 1.0, -1.0).astype(jnp.float32)
+    freq = sign * jnp.exp2(pitch)
+    mag_s = mag.reshape(c, nchunks, chunk, b).transpose(1, 0, 2, 3)
+    freq_s = freq.reshape(c, nchunks, chunk, b).transpose(1, 0, 2, 3)
+
+    def body(cycle0, inputs):
+        m, fr = inputs
+        inc = jnp.mod(fr / sample_rate, 1.0)
+        cycles = jnp.mod(cumsum_mod1_frames(inc) + cycle0[:, None, :], 1.0)
+        ang = cycles * (2.0 * jnp.pi)
+        # Re( polar(m, phase) * twiddle_k ), summed over bins
+        out = jnp.sum(m * (jnp.cos(ang) * tw_re[None, None, :]
+                           - jnp.sin(ang) * tw_im[None, None, :]), axis=-1)
+        return cycles[:, -1, :], out.astype(jnp.float32)
+
+    init = jnp.zeros((c, b), jnp.float32)
+    _, outs = jax.lax.scan(body, init, (mag_s, freq_s))
+    return outs.transpose(1, 0, 2).reshape(c, fpad)[:, :f]
+
+
+def sqpv_inverse(mag, pitch, positive, sample_rate: float,
+                 bins_per_octave: float,
+                 bandwidth: Tuple[float, float]) -> jnp.ndarray:
+    """(mag, pitch, positive) [C, F, B] -> audio [C, F]
+    (reference AudioSQPV.cpp:128-165): per-bin phase accumulation of the
+    pitch-decoded frequencies, then the twiddle-rotated real-part sum."""
+    return _sqpv_inverse_scan(
+        mag, pitch, positive, sample_rate=float(sample_rate),
+        bins_per_octave=float(bins_per_octave),
+        bandwidth=(float(bandwidth[0]), float(bandwidth[1])))

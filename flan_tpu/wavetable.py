@@ -109,6 +109,18 @@ class Wavetable:
     def get_num_waveforms(self, channel: int = 0) -> int:
         return len(self.waveform_starts[channel])
 
+    def get_waveform(self, waveform_index: int, channel: int) -> np.ndarray:
+        """One table cycle as a numpy array (reference Wavetable.cpp:454-461
+        returns a raw sample pointer; an array is the Python analog)."""
+        return np.asarray(self.table[channel, waveform_index])
+
+    def ratio_to_table_index(self, r, channel: int = 0):
+        """Map a [0,1] source-position ratio to a fractional table index,
+        preserving the source-time distribution of extracted waveforms
+        (reference Wavetable.cpp:463-488)."""
+        out = self._ratio_to_table_index(np.asarray(r, np.float64), channel)
+        return float(out) if np.ndim(r) == 0 else out
+
     # --- Playback (reference Wavetable.cpp:266-334) -------------------------
     def _ratio_to_table_index(self, r: np.ndarray, channel: int
                               ) -> np.ndarray:

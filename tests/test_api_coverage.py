@@ -251,10 +251,10 @@ def test_ms_spv_and_sqpv_conversions():
     spv = a.convert_to_ms_SPV(64)
     assert not spv.is_null()
     assert spv.num_channels == 2
-    # SQPV transforms are dormant upstream (AudioSQPV.cpp commented out);
-    # the ms variant must raise the documented NotImplementedError
-    with pytest.raises(NotImplementedError):
-        a.convert_to_ms_SQPV((55.0, 1760.0), 4)
+    # SQPV transforms are dormant upstream (AudioSQPV.cpp commented out)
+    # but activated here; the ms variant must produce a mid/side SQPV
+    sq = a.convert_to_ms_SQPV((55.0, 1760.0), 4)
+    assert not sq.is_null() and sq.num_channels == 2
 
 
 def test_synthesize_grains_direct():

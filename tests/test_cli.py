@@ -124,3 +124,24 @@ def test_loader_abandonment_joins_producer(wavs):
     next(it)
     it.close()  # abandon: generator finally sets stop + joins
     assert threading.active_count() <= before + 1
+
+
+def test_cli_cancel_token(tmp_path, monkeypatch):
+    """CancelToken is honored between clip dispatches (utils/cancel.py;
+    reference defines.h:49-62 cancellation analog)."""
+    import numpy as np
+    from flan_tpu import Audio
+    from flan_tpu.cli import main
+    from flan_tpu.utils.cancel import CancelToken, Cancelled
+    sr = 8000.0
+    t = np.arange(2000, dtype=np.float32) / sr
+    for i in range(2):
+        Audio.create_from_array(
+            (0.3 * np.sin(2 * np.pi * 440 * t))[None], sr
+        ).save_to_file(str(tmp_path / f"in{i}.wav"))
+    tok = CancelToken()
+    tok.cancel()
+    with pytest.raises(Cancelled):
+        main(["stretch", "--factor", "1.5", str(tmp_path / "out"),
+              str(tmp_path / "in0.wav"), str(tmp_path / "in1.wav")],
+             cancel=tok)

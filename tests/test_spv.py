@@ -62,7 +62,9 @@ def test_sqpv_buffer():
     assert s.q == pytest.approx(1.0 / (2 ** (1 / 24) - 1.0))
 
 
-def test_sqpv_conversion_dormant():
+def test_sqpv_conversion_activated():
+    # dormant upstream (AudioSQPV.cpp commented out) but activated here;
+    # full coverage lives in tests/test_sqpv_transform.py
     a = sine(440.0)
-    with pytest.raises(NotImplementedError):
-        a.convert_to_SQPV()
+    sq = a.convert_to_SQPV((55.0, 1760.0), 4)
+    assert not sq.is_null()
