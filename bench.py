@@ -74,25 +74,112 @@ def _stereo_test_signal(seconds, sr=48000.0, seed=0):
     return jnp.asarray(x)
 
 
+def _device_peak_flops():
+    """(device bf16 MXU peak flops, kind string); None when unknown.
+
+    Logical-flop MFU against the bf16 peak: accuracy-relevant einsums run
+    precision=HIGH (3 bf16 passes, CLAUDE.md), so MXU *occupancy* is up to
+    3x the reported model MFU."""
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in (("v6", 918e12), ("v5p", 459e12), ("v5 lite", 197e12),
+                      ("v5litepod", 197e12), ("v5e", 197e12),
+                      ("v4", 275e12), ("v3", 123e12), ("v2", 45e12)):
+        if key in kind:
+            return peak, kind
+    return None, kind
+
+
+def _cost_analysis(compiled):
+    """XLA's own flop/byte count of a compiled program, or (None, None)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_hbm = float(ca.get("bytes accessed", 0.0))
+        return (flops if flops > 0 else None,
+                bytes_hbm if bytes_hbm > 0 else None)
+    except Exception:
+        return None, None
+
+
+def _mfu_fields(compiled, best_s):
+    """MFU/roofline fields for a timed compiled program (VERDICT round 2
+    item 6): XLA-counted flops, %-of-peak, and HBM bytes/s."""
+    out = {}
+    flops, bytes_hbm = _cost_analysis(compiled)
+    peak, kind = _device_peak_flops()
+    if flops:
+        out["gflops_total"] = round(flops / 1e9, 1)
+        if peak:
+            out["mfu_pct"] = round(flops / best_s / peak * 100, 2)
+            out["device"] = kind
+    if bytes_hbm:
+        out["hbm_gb_per_s"] = round(bytes_hbm / best_s / 1e9, 1)
+    return out
+
+
 def bench_headline():
     """Config 2 / north star: PV 2x stretch, 10-min stereo 48 kHz."""
+    import jax
     from flan_tpu.pipelines import pv_stretch_pipeline
     seconds = 600.0
     x = _stereo_test_signal(seconds)
 
+    fj = jax.jit(lambda v: pv_stretch_pipeline(
+        v, 2.0, window_size=2048, hop=128, dft_size=4096,
+        sample_rate=48000.0))
+    compiled = fj.lower(x).compile()
+
     def run():
-        _sync(pv_stretch_pipeline(x, 2.0, window_size=2048, hop=128,
-                                  dft_size=4096, sample_rate=48000.0))
+        _sync(compiled(x))
 
     best = _best_time(run)
     xrt = seconds / best
-    return {
+    out = {
         "metric": "pv_stretch_x_realtime_10min_stereo_48k",
         "value": round(xrt, 2),
         "unit": "x_realtime",
         "vs_baseline": round(xrt / 50.0, 3),
         "sync_floor_ms": round(_sync_floor() * 1000, 1),
     }
+    out.update(_mfu_fields(compiled, best))
+    return out
+
+
+def bench_batch():
+    """Chip-saturation config (VERDICT round 2 item 6): 16 one-minute
+    stereo clips stretched as ONE vmapped batch. The headline's single
+    600 s clip leaves the MXU mostly idle between scan steps; batching
+    multiplies arithmetic intensity without more HBM traffic per clip."""
+    import jax
+    from flan_tpu.pipelines import pv_stretch_pipeline
+    clip_seconds, nclips = 60.0, 16
+    base = _stereo_test_signal(clip_seconds)
+    rng = np.random.default_rng(3)
+    import jax.numpy as jnp
+    xb = jnp.asarray(
+        np.asarray(base)[None]
+        * rng.uniform(0.5, 1.0, (nclips, 1, 1)).astype(np.float32))
+
+    fj = jax.jit(jax.vmap(lambda v: pv_stretch_pipeline(
+        v, 2.0, window_size=2048, hop=128, dft_size=4096,
+        sample_rate=48000.0)))
+    compiled = fj.lower(xb).compile()
+
+    def run():
+        _sync(compiled(xb))
+
+    best = _best_time(run, reps=2)
+    total = clip_seconds * nclips
+    out = {
+        "metric": "pv_stretch_batch16_x_realtime_60s_stereo",
+        "value": round(total / best, 2),
+        "unit": "x_realtime_aggregate",
+    }
+    out.update(_mfu_fields(compiled, best))
+    return out
 
 
 def bench_roundtrip():
@@ -285,7 +372,7 @@ def main():
         import subprocess
         for fn in ("bench_roundtrip", "bench_resample_filter",
                    "bench_convolve_texture", "bench_morph", "bench_repitch",
-                   "bench_spv", "bench_sqpv"):
+                   "bench_spv", "bench_sqpv", "bench_batch"):
             try:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--one",

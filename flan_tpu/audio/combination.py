@@ -118,11 +118,16 @@ def convolve(self, ir, normalize: bool = True):
         ir = ir.resample(self.sample_rate)
     n, m = self.num_frames, ir.num_frames
     out_frames = n + m
+
     dft = 2 * power_of_2_container(max(n, m))
 
     ir_rows = [ir.data[c % ir.num_channels]
                for c in range(self.num_channels)]
     ir_mat = jnp.stack(ir_rows)
+    # one whole-signal XLA FFT pair. The overlap-save MXU alternative
+    # (ops/fft_conv.py) measured 12x SLOWER on-chip at this size (49x vs
+    # 623x realtime, round 3): the matmul FFT's advantage at dft 4096
+    # does not extend to 2^17-point blocks.
     spec = (jnp.fft.rfft(self.data, n=dft, axis=-1)
             * jnp.fft.rfft(ir_mat, n=dft, axis=-1))
     conv = jnp.fft.irfft(spec, n=dft, axis=-1)[:, :out_frames]

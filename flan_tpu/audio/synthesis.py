@@ -281,6 +281,8 @@ def _mix_repeated(audio, times: np.ndarray, gains=None):
     np.add.at(train, frames,
               np.ones(len(frames), np.float32) if gains is None
               else np.asarray(gains, np.float32))
+    # whole-signal XLA FFT pair (the overlap-save MXU form in
+    # ops/fft_conv.py measured 4x slower on-chip at this size, round 3)
     dft = 2 * power_of_2_container(max(out_frames, audio.num_frames))
     spec = (jnp.fft.rfft(jnp.asarray(train), n=dft)[None, :]
             * jnp.fft.rfft(audio.data, n=dft, axis=-1))
@@ -288,13 +290,18 @@ def _mix_repeated(audio, times: np.ndarray, gains=None):
     return Audio(data=out.astype(jnp.float32), sample_rate=sr)
 
 
-def _texture_mod_batched(self, times: np.ndarray, mod, batch: int = 8):
-    """Batched independent-grain path: chunks of `batch` grains run under
-    one vmapped trace inside a lax.scan that accumulates directly into the
-    output (no per-grain Python dispatch, no list-of-grains mix). Returns
-    None when the mod is not jax-traceable (host control flow on t or on
-    the buffer) - the caller falls back to the sequential loop.
-    (VERDICT.md round 1, item 7)."""
+def _texture_mod_batched(self, times: np.ndarray, mod, batch: int = 64,
+                         block: int = 128):
+    """Dense independent-grain path (VERDICT round 2 item 4): grains render
+    in vmapped chunks of `batch` under one lax.scan, then mix as ONE
+    block-aligned segment scatter-add per chunk instead of a per-grain
+    dynamic-update chain. Each grain's arbitrary start splits into
+    (block index q, remainder r); a small per-grain gather shifts the
+    grain right by r so every grain lands on block boundaries, and the
+    whole chunk lands with a single row-block scatter (128-lane rows keep
+    the update lane-aligned on TPU). Returns None when the mod is not
+    jax-traceable (host control flow on t or on the buffer) - the caller
+    falls back to the sequential loop."""
     import jax
     from flan_tpu.audio.audio import Audio
     sr = self.sample_rate
@@ -315,27 +322,44 @@ def _texture_mod_batched(self, times: np.ndarray, mod, batch: int = 8):
     gpad = nchunks * batch
     t_pad = np.zeros(gpad, np.float32)
     t_pad[:g] = np.asarray(times, np.float32)
-    s_pad = np.zeros(gpad, np.int32)
-    s_pad[:g] = starts
     live = np.zeros(gpad, np.float32)
     live[:g] = 1.0
+    q_pad = np.zeros(gpad, np.int32)
+    r_pad = np.zeros(gpad, np.int32)
+    q_pad[:g] = starts // block
+    r_pad[:g] = starts % block
+
+    # shifted grain occupies ceil((g_n + block - 1) / block) blocks
+    nblk_g = -(-(g_n + block - 1) // block)
+    L = nblk_g * block
+    nblk_out = -(-(out_n + g_n) // block) + 1
 
     ts = jnp.asarray(t_pad).reshape(nchunks, batch)
-    ss = jnp.asarray(s_pad).reshape(nchunks, batch)
     lv = jnp.asarray(live).reshape(nchunks, batch)
+    qs = jnp.asarray(q_pad).reshape(nchunks, batch)
+    rs = jnp.asarray(r_pad).reshape(nchunks, batch)
+    lane = jnp.arange(L, dtype=jnp.int32)
 
     def step(acc, inp):
-        t_b, s_b, l_b = inp
+        t_b, l_b, q_b, r_b = inp
         grains = jax.vmap(mod_data)(t_b) * l_b[:, None, None]
-        for j in range(batch):
-            cur = jax.lax.dynamic_slice(acc, (0, s_b[j]), (g_c, g_n))
-            acc = jax.lax.dynamic_update_slice(acc, cur + grains[j],
-                                               (0, s_b[j]))
-        return acc, None
+        # per-grain right-shift by r (< block): small in-VMEM gather
+        idx = lane[None, :] - r_b[:, None]                  # [batch, L]
+        ok = (idx >= 0) & (idx < g_n)
+        aligned = jnp.where(
+            ok[:, None, :],
+            jnp.take_along_axis(grains, jnp.clip(idx, 0, g_n - 1)[:, None, :]
+                                .repeat(g_c, axis=1), axis=-1),
+            0.0)                                            # [batch, C, L]
+        rows = aligned.reshape(batch, g_c, nblk_g, block) \
+            .transpose(0, 2, 1, 3).reshape(batch * nblk_g, g_c, block)
+        ids = (q_b[:, None] + jnp.arange(nblk_g)[None, :]).reshape(-1)
+        return acc.at[ids].add(rows), None
 
-    acc0 = jnp.zeros((g_c, out_n + g_n), jnp.float32)
-    acc, _ = jax.lax.scan(step, acc0, (ts, ss, lv))
-    return Audio(data=acc[:, :out_n], sample_rate=sr)
+    acc0 = jnp.zeros((nblk_out, g_c, block), jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, (ts, lv, qs, rs))
+    out = acc.transpose(1, 0, 2).reshape(g_c, nblk_out * block)
+    return Audio(data=out[:, :out_n], sample_rate=sr)
 
 
 def texture(self, length: float, grains_per_second, time_scatter,

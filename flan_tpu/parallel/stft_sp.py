@@ -180,6 +180,212 @@ def pv_inverse_sp(mag: jnp.ndarray, freq: jnp.ndarray, mesh: Mesh, *,
     return stream[:, shift:shift + f * hop]
 
 
+def stretch_sp_streamed(x: jnp.ndarray, mesh: Mesh, *, factor,
+                        window_size: int = 2048, hop: int = 128,
+                        dft_size: int = 4096, sample_rate: float = 48000.0,
+                        axis: str = "sp", chunk_out: int = 256):
+    """Sequence-parallel AND streamed PV time-stretch (VERDICT round 2,
+    item 5): each shard runs the O(chunk)-HBM streamed harness
+    (pipelines/streamed.py) over its own output span, so a sharded
+    hour-long stretch never materializes per-shard PV tensors (stretch_sp
+    holds [C, H_local, B] per device - the 2x-overlap-factor blowup
+    streaming was built to avoid).
+
+    Cross-device sequential state:
+    * inverse phase prefix: the mod-1 cycle total of a shard is only known
+      after its chunks are scanned, so the kernel runs TWO passes: pass 1
+      scans forward+remap accumulating the per-shard cycle total (no
+      synthesis - XLA dead-code-eliminates the irfft), one all_gather of
+      the tiny [D, C, B] totals, then pass 2 re-runs the scan with each
+      shard's exclusive prefix offset and synthesizes. ~1.4x compute for
+      O(chunk) memory; for audio long enough to shard, the alternative is
+      not fitting at all.
+    * overlap-add tail: each shard's final chunk tail is ppermuted to the
+      right neighbor and added onto its first window of output (the tail
+      handoff of pv_inverse_sp, lifted out of the scan).
+
+    Per-device peak HBM: the all_gathered raw audio [C, N] (window/hop * 2
+    = 32x smaller than the PV tensors at default params) plus O(chunk_out
+    x bins) scan state. Matches stretch_sp / the fused single-chip
+    pipeline (asserted in tests/test_multichip.py and
+    __graft_entry__.dryrun_multichip).
+    """
+    from flan_tpu.func.function import as_function
+    from flan_tpu.ops.stft import (cumsum_mod1_frames, irfft_polar,
+                                   rfft_mag_phase)
+
+    c, n = x.shape
+    d = mesh.shape[axis]
+    nh = num_hops(n, hop)
+    analysis_rate = sample_rate / hop
+    nbins = dft_size // 2 + 1
+
+    # ---- host: factor -> monotone time map (as stretch_sp) ----
+    fn = as_function(factor)
+    if fn.is_constant:
+        factors = np.full(nh, float(fn.constant_value), np.float64)
+    else:
+        t = np.arange(nh, dtype=np.float64) * (hop / sample_rate)
+        factors = np.asarray(fn(jnp.asarray(t, jnp.float32)),
+                             np.float64).reshape(-1)
+        factors = np.broadcast_to(factors, (nh,))
+    if (factors <= 0).any():
+        raise ValueError("stretch_sp_streamed requires positive factors")
+    time_map = np.cumsum(factors)
+    out_frames = int(math.ceil(time_map.max()))
+
+    # ---- host: chunked gather plan, sharded by output span ----
+    nchunks_local = _cdiv(_cdiv(out_frames, d), chunk_out)
+    oh_local = nchunks_local * chunk_out
+    fpad = oh_local * d
+    nchunks = nchunks_local * d
+
+    xs = np.arange(fpad, dtype=np.float64)
+    raw_idx = np.searchsorted(time_map, xs, side="right")
+    valid = (raw_idx >= 1) & (raw_idx <= nh - 1) & (xs < out_frames)
+    idx = np.clip(raw_idx, 1, nh - 1)
+    l = time_map[idx - 1]
+    rr = time_map[idx]
+    mix = np.clip((xs - l) / np.where(rr == l, 1.0, rr - l), 0.0, 1.0)
+
+    idx_c = idx.reshape(nchunks, chunk_out)
+    i0 = idx_c[:, 0] - 1                              # [nchunks]
+    H = int((idx_c.max(axis=1) - i0).max()) + 2       # pair + helper hop
+    li = (idx_c - 1 - i0[:, None]).astype(np.int32)   # chunk-local pairs
+
+    wpad = _cdiv(window_size, hop) * hop
+    r = wpad // hop
+    if oh_local < r:
+        raise ValueError("output shard shorter than the overlap-add tail; "
+                         "use fewer devices or longer audio")
+
+    window = hann_window(window_size)
+    bin_freq = (jnp.arange(nbins, dtype=jnp.float32)
+                * (sample_rate / dft_size))
+    expected = bin_freq / analysis_rate * (2.0 * jnp.pi)
+    inv_scale = 2.67 / (dft_size * window_size / hop) * dft_size
+    inv_window = jnp.zeros((wpad,), jnp.float32).at[:window_size].set(
+        hann_window(window_size) * inv_scale)
+
+    n_local = _cdiv(n, d)
+    xp_in = jnp.pad(x, [(0, 0), (0, n_local * d - n)])
+    left_pad = wpad + hop
+    span_len = (H + r + 1) * hop
+    span_start_np = (i0 - 1) * hop - window_size // 2 + left_pad
+
+    # per-device chunk plans, sharded along the leading axis
+    sp_dev = jnp.asarray(span_start_np.reshape(d, nchunks_local), jnp.int32)
+    i0_dev = jnp.asarray(i0.reshape(d, nchunks_local), jnp.int32)
+    li_dev = jnp.asarray(li.reshape(d, nchunks_local, chunk_out), jnp.int32)
+    mix_dev = jnp.asarray(mix.reshape(d, nchunks_local, chunk_out),
+                          jnp.float32)
+    valid_dev = jnp.asarray(valid.reshape(d, nchunks_local, chunk_out))
+
+    def chunk_core(xf, s0, i0_c, li_c, mix_c, valid_c):
+        """forward PV + stretch remap for one chunk -> (s_mag, s_freq)."""
+        span = jax.lax.dynamic_slice(xf, (0, s0), (c, span_len))
+        rows = span.reshape(c, span_len // hop, hop)
+        frames = jnp.stack([rows[:, jj:jj + H, :] for jj in range(r)],
+                           axis=2)
+        frames = frames.reshape(c, H, r * hop)[..., :window_size]
+        frames = frames * window[None, None, :]
+        mag, phase = rfft_mag_phase(frames, dft_size)
+        prev = jnp.concatenate(
+            [jnp.zeros((c, 1, nbins), jnp.float32), phase[:, :-1]], axis=1)
+        hop_ids = i0_c - 1 + jnp.arange(H)
+        prev = jnp.where((hop_ids[None, :, None] - 1) < 0, 0.0, prev)
+        delta = _wrap_radians(phase - prev - expected[None, None, :])
+        freq = bin_freq[None, None, :] + delta * (analysis_rate
+                                                  / (2.0 * jnp.pi))
+        mag, freq = mag[:, 1:], freq[:, 1:]          # drop helper hop
+        w0 = (1.0 - mix_c)[None, :, None] * mag[:, li_c]
+        w1 = mix_c[None, :, None] * mag[:, li_c + 1]
+        total = w0 + w1
+        fsum = w0 * freq[:, li_c] + w1 * freq[:, li_c + 1]
+        v = valid_c[None, :, None]
+        s_mag = jnp.where(v, total, 0.0)
+        s_freq = jnp.where(v & (total > 0.0),
+                           fsum / jnp.where(total > 0.0, total, 1.0), 0.0)
+        return s_mag, s_freq
+
+    def kernel(x_local, sp_c, i0_c, li_c, mix_c, valid_c):
+        idx_dev = jax.lax.axis_index(axis)
+        full = jax.lax.all_gather(x_local, axis, axis=1, tiled=True)
+        xf = jnp.pad(full, [(0, 0), (left_pad, span_len + left_pad)])
+        sp_l = sp_c[0]          # [nchunks_local] (leading dev axis sharded)
+        i0_l, li_l, mix_l, valid_l = i0_c[0], li_c[0], mix_c[0], valid_c[0]
+
+        # ---- pass 1: per-shard mod-1 cycle total (no synthesis) ----
+        def body_total(total0, inputs):
+            s0, i0_k, li_k, mix_k, valid_k = inputs
+            _, s_freq = chunk_core(xf, s0, i0_k, li_k, mix_k, valid_k)
+            inc = jnp.mod(s_freq / analysis_rate, 1.0)
+            last = cumsum_mod1_frames(inc)[:, -1, :]
+            return jnp.mod(total0 + last, 1.0), None
+
+        total, _ = jax.lax.scan(
+            body_total,
+            jax.lax.pcast(jnp.zeros((c, nbins), jnp.float32), (axis,),
+                          to="varying"),
+            (sp_l, i0_l, li_l, mix_l, valid_l))
+
+        totals = jax.lax.all_gather(total, axis)          # [D, C, B]
+        ranks = jnp.arange(d)[:, None, None]
+        prefix = jnp.mod(
+            jnp.sum(jnp.where(ranks < idx_dev, totals, 0.0), axis=0), 1.0)
+
+        # ---- pass 2: streamed synthesis with the device phase offset ----
+        def body(carry, inputs):
+            cycle0, tail = carry
+            s0, i0_k, li_k, mix_k, valid_k = inputs
+            s_mag, s_freq = chunk_core(xf, s0, i0_k, li_k, mix_k, valid_k)
+            inc = jnp.mod(s_freq / analysis_rate, 1.0)
+            cycles = jnp.mod(cumsum_mod1_frames(inc) + cycle0[:, None, :],
+                             1.0)
+            out_t = irfft_polar(s_mag, cycles * (2.0 * jnp.pi),
+                                dft_size, out_len=wpad)[..., :wpad]
+            out_t = out_t * inv_window[None, None, :]
+            blocks = out_t.reshape(c, chunk_out, r, hop)
+            acc = jnp.zeros((c, chunk_out + r, hop), jnp.float32)
+            acc = acc.at[:, :r, :].set(tail)
+            for j in range(r):
+                acc = acc.at[:, j:j + chunk_out, :].add(blocks[:, :, j, :])
+            out = acc[:, :chunk_out, :].reshape(c, chunk_out * hop)
+            return (cycles[:, -1, :], acc[:, chunk_out:, :]), out
+
+        init = (prefix,
+                jax.lax.pcast(jnp.zeros((c, r, hop), jnp.float32), (axis,),
+                              to="varying"))
+        (_, tail), outs = jax.lax.scan(
+            body, init, (sp_l, i0_l, li_l, mix_l, valid_l))
+        body_audio = outs.transpose(1, 0, 2).reshape(c, oh_local * hop)
+
+        # ---- cross-device OLA tail handoff (outside the scan) ----
+        shifted = jax.lax.ppermute(
+            tail, axis, [(i, (i + 1) % d) for i in range(d)])
+        shifted = jnp.where(idx_dev == 0, 0.0, shifted)
+        head = (body_audio[:, :r * hop].reshape(c, r, hop)
+                + shifted).reshape(c, r * hop)
+        body_audio = jnp.concatenate([head, body_audio[:, r * hop:]],
+                                     axis=-1)
+        last_tail = jax.lax.psum(
+            jnp.where(idx_dev == d - 1, tail, 0.0), axis)
+        return body_audio, last_tail
+
+    fn_sharded = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(None, axis), P(axis, None), P(axis, None),
+                  P(axis, None, None), P(axis, None, None),
+                  P(axis, None, None)),
+        out_specs=(P(None, axis), P(None, None, None)))
+    audio, last_tail = fn_sharded(xp_in, sp_dev, i0_dev, li_dev, mix_dev,
+                                  valid_dev)
+    stream = jnp.concatenate([audio, last_tail.reshape(c, r * hop)],
+                             axis=-1)
+    shift = window_size // 2
+    return stream[:, shift:shift + out_frames * hop]
+
+
 def stretch_sp(x: jnp.ndarray, mesh: Mesh, *, factor, window_size: int = 2048,
                hop: int = 128, dft_size: int = 4096,
                sample_rate: float = 48000.0, axis: str = "sp"):

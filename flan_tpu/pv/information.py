@@ -57,12 +57,17 @@ def _hann_dft2(f):
 
 
 def get_salience(self, channel: int, min_frequency: float = 55.0,
-                 max_frequency: float = 1760.0, max_peaks: int = 64
+                 max_frequency: float = 1760.0, max_peaks=None
                  ) -> Salience:
     """Perceived-pitch salience map (reference PVInformation.cpp:28-109):
     per-frame magnitude peaks, hann-DFT amplitude correction, subharmonic
-    accumulation with cosine spreading. Peaks are capped at max_peaks per
-    frame (the loudest win; the reference walks all)."""
+    accumulation with cosine spreading.
+
+    The reference walks every peak; here peaks batch through a per-frame
+    top-K. K defaults to the *measured* max peak count over all frames
+    (one cheap device reduction, rounded up to a multiple of 16 to bucket
+    recompiles), so the default is exactly lossless. Pass an int to cap
+    explicitly (cheaper on dense noise, quantified lossy)."""
     if self.is_null():
         return Salience()
     bin_effect_dist = 10
@@ -84,6 +89,11 @@ def get_salience(self, channel: int, min_frequency: float = 55.0,
     a_max = jnp.max(mag, axis=-1, keepdims=True)
     peak_mask = peak_mask & (mag > a_max / e_test)
 
+    if max_peaks is None:
+        # measured max peaks/frame -> lossless K (multiple of 16, >= 16)
+        counts = jnp.sum(peak_mask, axis=-1)
+        max_peaks = int(-(-max(int(jnp.max(counts)), 1) // 16) * 16)
+    max_peaks = min(max_peaks, b_cnt)
     vals, idxs = jax.lax.top_k(jnp.where(peak_mask, mag, -1.0), max_peaks)
     picked = vals > 0                             # [F, K]
     i_f = jnp.take_along_axis(freq, idxs, axis=-1)

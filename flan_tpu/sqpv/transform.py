@@ -51,10 +51,13 @@ def _cq_params(sample_rate: float, bins_per_octave: float,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sample_rate", "bins_per_octave", "bandwidth", "chunk"))
+    "sample_rate", "bins_per_octave", "bandwidth", "chunk",
+    "cumsum_precision"))
 def _sqpv_forward_scan(x, *, sample_rate: float, bins_per_octave: float,
-                       bandwidth: Tuple[float, float], chunk: int = _CHUNK):
+                       bandwidth: Tuple[float, float], chunk: int = _CHUNK,
+                       cumsum_precision=jax.lax.Precision.HIGHEST):
     from flan_tpu.ops.stft import _wrap_radians
+    from flan_tpu.spv.spv import _cumsum_frames_tri
     c, n = x.shape
     L = chunk
     q, nbins, freqs, periods = _cq_params(sample_rate, bins_per_octave,
@@ -85,8 +88,6 @@ def _sqpv_forward_scan(x, *, sample_rate: float, bins_per_octave: float,
     bin_freq = jnp.asarray(freqs, jnp.float32)
     expected = bin_freq / sample_rate * (2.0 * jnp.pi)
 
-    tri = jnp.asarray(np.tril(np.ones((L, L), np.float32)))
-
     def sample_at(tvals, offset_sign):
         # trunc(t + sign*N_k/2) with C++ toward-zero semantics; OOB -> 0
         idx = jnp.trunc(tvals[None, :] + offset_sign * half[:, None])
@@ -97,9 +98,7 @@ def _sqpv_forward_scan(x, *, sample_rate: float, bins_per_octave: float,
         return vals  # [C, B, L]
 
     def cumsum_l(v):  # [C, L, B*3] inclusive cumsum over axis 1 on the MXU
-        return jnp.einsum("gf,cfk->cgk", tri, v,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+        return _cumsum_frames_tri(v, precision=cumsum_precision)
 
     def body(carry, t0):
         f_re, f_im, prev_phase = carry  # [C, B, 3], [C, B, 3], [C, B]
@@ -157,12 +156,14 @@ def _sqpv_forward_scan(x, *, sample_rate: float, bins_per_octave: float,
 
 def sqpv_forward(x: jnp.ndarray, sample_rate: float,
                  bins_per_octave: float,
-                 bandwidth: Tuple[float, float]):
+                 bandwidth: Tuple[float, float], chunk: int = _CHUNK,
+                 cumsum_precision=jax.lax.Precision.HIGHEST):
     """Audio [C, N] -> (mag, pitch, positive) each [C, N, B]."""
     return _sqpv_forward_scan(
         x, sample_rate=float(sample_rate),
         bins_per_octave=float(bins_per_octave),
-        bandwidth=(float(bandwidth[0]), float(bandwidth[1])))
+        bandwidth=(float(bandwidth[0]), float(bandwidth[1])),
+        chunk=chunk, cumsum_precision=cumsum_precision)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -102,3 +102,34 @@ def test_prism_tie_semantics_zero_mag_taps(melody_pv):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(fast.freq), np.asarray(slow.freq),
                                atol=1e-2)
+
+
+def test_salience_adaptive_k_lossless_on_dense_polyphony():
+    """VERDICT round 2 item 8: the default (adaptive-K) salience equals
+    an uncapped all-bins run on material whose per-frame peak count
+    exceeds the old fixed cap of 64."""
+    rng = np.random.default_rng(0)
+    n = int(SR * 2)
+    t = np.arange(n) / SR
+    # 90 inharmonic partials across the band + noise floor: every frame
+    # carries far more than 64 strict local maxima above the -40 dB gate
+    freqs = np.linspace(60.0, 3600.0, 90) * (1 + 0.003 * rng.standard_normal(90))
+    sig = sum(np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28)) / 30.0
+              for f in freqs)
+    sig = (sig + 0.02 * rng.standard_normal(n)).astype(np.float32)[None]
+    pv = Audio.create_from_array(sig, SR).convert_to_PV(WINDOW, HOP, DFT)
+
+    import jax.numpy as jnp
+    mag = pv.mag[0]
+    mid = mag[:, 1:-1]
+    is_peak = (mid > mag[:, :-2]) & (mid >= mag[:, 2:])
+    gate = jnp.max(mag, axis=-1, keepdims=True) / (10.0 ** (40.0 / 20.0))
+    count = int(jnp.max(jnp.sum(
+        jnp.pad(is_peak, [(0, 0), (1, 1)]) & (mag > gate), axis=-1)))
+    assert count > 64, count  # the scenario actually stresses the old cap
+
+    sal_default = pv.get_salience(0, 55.0, 1760.0)
+    sal_full = pv.get_salience(0, 55.0, 1760.0,
+                               max_peaks=pv.mag.shape[-1])
+    np.testing.assert_allclose(sal_default.buffer, sal_full.buffer,
+                               atol=1e-6)
