@@ -7,13 +7,14 @@ flan_tpu.audio.__init__.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flan_tpu.core.types import power_of_2_container
 from flan_tpu.func.function import as_function
 from flan_tpu.ops import resample as resample_ops
 
@@ -108,6 +109,23 @@ def select(ins: Sequence, selection,
     return mix(ins, start_times, gains)
 
 
+@functools.partial(jax.jit, static_argnames=("out_frames", "normalize"))
+def _convolve_core(x, ir_mat, *, out_frames: int, normalize: bool):
+    """One compiled program for the whole convolve (overlap-save MXU
+    blocks + peak normalize). Jitting matters more than the FFT choice
+    here: the eager composition paid per-primitive dispatch through the
+    remote TPU client (measured 0.61 s vs 26 ms compiled, round 3)."""
+    from flan_tpu.ops.fft_conv import fft_convolve_full
+    conv = fft_convolve_full(x, ir_mat)
+    conv = jnp.pad(conv, [(0, 0), (0, out_frames - conv.shape[-1])]) \
+        if conv.shape[-1] < out_frames else conv[:, :out_frames]
+    conv = conv.astype(jnp.float32)
+    if normalize:
+        peak = jnp.max(jnp.abs(conv))
+        conv = conv / jnp.where(peak > 0, peak, 1.0)
+    return conv
+
+
 def convolve(self, ir, normalize: bool = True):
     """Full FFT convolution (reference AudioCombination.cpp:299-353).
     IR channels are used cyclically on channel-count mismatch."""
@@ -119,20 +137,9 @@ def convolve(self, ir, normalize: bool = True):
     n, m = self.num_frames, ir.num_frames
     out_frames = n + m
 
-    dft = 2 * power_of_2_container(max(n, m))
-
     ir_rows = [ir.data[c % ir.num_channels]
                for c in range(self.num_channels)]
     ir_mat = jnp.stack(ir_rows)
-    # one whole-signal XLA FFT pair. The overlap-save MXU alternative
-    # (ops/fft_conv.py) measured 12x SLOWER on-chip at this size (49x vs
-    # 623x realtime, round 3): the matmul FFT's advantage at dft 4096
-    # does not extend to 2^17-point blocks.
-    spec = (jnp.fft.rfft(self.data, n=dft, axis=-1)
-            * jnp.fft.rfft(ir_mat, n=dft, axis=-1))
-    conv = jnp.fft.irfft(spec, n=dft, axis=-1)[:, :out_frames]
-    out = Audio(data=conv.astype(jnp.float32), sample_rate=self.sample_rate)
-    if normalize:
-        peak = jnp.max(jnp.abs(out.data))
-        out = out._with(data=out.data / jnp.where(peak > 0, peak, 1.0))
-    return out
+    conv = _convolve_core(self.data, ir_mat, out_frames=out_frames,
+                          normalize=bool(normalize))
+    return Audio(data=conv, sample_rate=self.sample_rate)

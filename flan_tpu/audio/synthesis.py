@@ -273,7 +273,6 @@ def _mix_repeated(audio, times: np.ndarray, gains=None):
     synthesize_grains_repeat mixes copy-by-copy,
     AudioSynthesis.cpp:401-421)."""
     from flan_tpu.audio.audio import Audio
-    from flan_tpu.core.types import power_of_2_container
     sr = audio.sample_rate
     frames = np.asarray(np.round(np.asarray(times) * sr), np.int64)
     out_frames = int(frames.max()) + audio.num_frames
@@ -281,13 +280,51 @@ def _mix_repeated(audio, times: np.ndarray, gains=None):
     np.add.at(train, frames,
               np.ones(len(frames), np.float32) if gains is None
               else np.asarray(gains, np.float32))
-    # whole-signal XLA FFT pair (the overlap-save MXU form in
-    # ops/fft_conv.py measured 4x slower on-chip at this size, round 3)
-    dft = 2 * power_of_2_container(max(out_frames, audio.num_frames))
-    spec = (jnp.fft.rfft(jnp.asarray(train), n=dft)[None, :]
-            * jnp.fft.rfft(audio.data, n=dft, axis=-1))
-    out = jnp.fft.irfft(spec, n=dft, axis=-1)[:, :out_frames]
+    # one compiled overlap-save MXU convolution (ops/fft_conv.py, jitted)
+    # of the long impulse train against the short grain; the eager
+    # whole-signal jnp.fft pair paid per-primitive remote dispatch
+    # (texture config 237x, round 2)
+    from flan_tpu.ops.fft_conv import fft_convolve_full
+    train_mat = jnp.broadcast_to(jnp.asarray(train)[None],
+                                 (audio.num_channels, out_frames))
+    out = fft_convolve_full(train_mat, audio.data)[:, :out_frames]
     return Audio(data=out.astype(jnp.float32), sample_rate=sr)
+
+
+def _align_grains_to_blocks(grains: jnp.ndarray, r_off: jnp.ndarray,
+                            g_n: int, block: int):
+    """Shift each grain right by its sub-block remainder r (< block) so
+    every grain starts on a block boundary: [G, C, g_n] -> [G, C, L] with
+    L = ceil((g_n + block - 1)/block) * block. Small in-VMEM gather."""
+    g_c = grains.shape[1]
+    nblk_g = -(-(g_n + block - 1) // block)
+    L = nblk_g * block
+    lane = jnp.arange(L, dtype=jnp.int32)
+    idx = lane[None, :] - r_off[:, None]                # [G, L]
+    ok = (idx >= 0) & (idx < g_n)
+    aligned = jnp.where(
+        ok[:, None, :],
+        jnp.take_along_axis(grains, jnp.clip(idx, 0, g_n - 1)[:, None, :]
+                            .repeat(g_c, axis=1), axis=-1),
+        0.0)
+    return aligned, nblk_g
+
+
+def _scatter_mix_blocks(grains: jnp.ndarray, starts: np.ndarray,
+                        out_n: int, block: int = 128) -> jnp.ndarray:
+    """Mix grains [G, C, g_n] at sample offsets `starts` into [C, out_n]:
+    block-align each grain, then land the whole set with ONE row-block
+    scatter-add (128-lane rows keep the update lane-aligned on TPU)."""
+    g, g_c, g_n = grains.shape
+    q = jnp.asarray(starts // block, jnp.int32)
+    r = jnp.asarray(starts % block, jnp.int32)
+    aligned, nblk_g = _align_grains_to_blocks(grains, r, g_n, block)
+    rows = aligned.reshape(g, g_c, nblk_g, block) \
+        .transpose(0, 2, 1, 3).reshape(g * nblk_g, g_c, block)
+    ids = (q[:, None] + jnp.arange(nblk_g)[None, :]).reshape(-1)
+    nblk_out = -(-(out_n + g_n) // block) + 1
+    acc = jnp.zeros((nblk_out, g_c, block), jnp.float32).at[ids].add(rows)
+    return acc.transpose(1, 0, 2).reshape(g_c, nblk_out * block)[:, :out_n]
 
 
 def _texture_mod_batched(self, times: np.ndarray, mod, batch: int = 64,
@@ -331,26 +368,17 @@ def _texture_mod_batched(self, times: np.ndarray, mod, batch: int = 64,
 
     # shifted grain occupies ceil((g_n + block - 1) / block) blocks
     nblk_g = -(-(g_n + block - 1) // block)
-    L = nblk_g * block
     nblk_out = -(-(out_n + g_n) // block) + 1
 
     ts = jnp.asarray(t_pad).reshape(nchunks, batch)
     lv = jnp.asarray(live).reshape(nchunks, batch)
     qs = jnp.asarray(q_pad).reshape(nchunks, batch)
     rs = jnp.asarray(r_pad).reshape(nchunks, batch)
-    lane = jnp.arange(L, dtype=jnp.int32)
 
     def step(acc, inp):
         t_b, l_b, q_b, r_b = inp
         grains = jax.vmap(mod_data)(t_b) * l_b[:, None, None]
-        # per-grain right-shift by r (< block): small in-VMEM gather
-        idx = lane[None, :] - r_b[:, None]                  # [batch, L]
-        ok = (idx >= 0) & (idx < g_n)
-        aligned = jnp.where(
-            ok[:, None, :],
-            jnp.take_along_axis(grains, jnp.clip(idx, 0, g_n - 1)[:, None, :]
-                                .repeat(g_c, axis=1), axis=-1),
-            0.0)                                            # [batch, C, L]
+        aligned, _ = _align_grains_to_blocks(grains, r_b, g_n, block)
         rows = aligned.reshape(batch, g_c, nblk_g, block) \
             .transpose(0, 2, 1, 3).reshape(batch * nblk_g, g_c, block)
         ids = (q_b[:, None] + jnp.arange(nblk_g)[None, :]).reshape(-1)
@@ -487,17 +515,98 @@ def synthesize_trainlets(length: float, grains_per_second, time_scatter,
                              grain_source, sample_rate, seed=seed)
 
 
+def _granulate_batched(self, times: np.ndarray, sels: np.ndarray,
+                       gls: np.ndarray, fts: np.ndarray, envelope=None):
+    """Dense granulate (VERDICT round 2 item 4 generalized): all grains
+    gather from the source in ONE static-index device op (host-known
+    starts compile to lane permutations, CLAUDE.md), fade/window
+    envelopes broadcast from per-grain scalars, and the set lands with
+    the block-aligned scatter mixer - 3 device programs total where the
+    sequential path paid per-event cut + eager mix dispatches.
+
+    Replicates cut_frames clamp/null semantics, the sqrt fades with
+    proportional shrink, and synthesize_grains' null-drop time pairing
+    (surviving grain i plays at times[i])."""
+    from flan_tpu.audio.audio import Audio
+    sr = self.sample_rate
+    n = self.num_frames
+    t2f = lambda v: np.asarray(np.round(np.asarray(v, np.float64) * sr),  # noqa: E731
+                               np.int64)
+    s0 = np.clip(t2f(sels), 0, n - 1)
+    e0 = np.clip(t2f(sels + gls), 0, n - 1)
+    live = e0 > s0                       # cut_frames -> null otherwise
+    s0, e0 = s0[live], e0[live]
+    ft_g = np.broadcast_to(t2f(fts), live.shape)[live]
+    g = int(live.sum())
+    if g == 0:
+        return Audio.create_null()
+    lens = e0 - s0
+    # synthesize_grains drops nulls THEN pairs with the first g times
+    starts_out = t2f(np.asarray(times)[:g])
+
+    # sqrt fades with the proportional shrink of fade_frames
+    sf = np.clip(ft_g, 0, lens)
+    ef = np.clip(ft_g, 0, lens)
+    over = sf + ef > lens
+    scale = np.where(over, lens / np.maximum(sf + ef, 1), 1.0)
+    sf = np.where(over, (sf * scale).astype(np.int64), sf)
+    ef = np.where(over, lens - sf, ef)
+
+    L = int(lens.max())
+    lane = np.arange(L, dtype=np.int64)[None, :]
+    idx = np.minimum(s0[:, None] + lane, n - 1)          # [G, L] static
+    mask = (lane < lens[:, None]).astype(np.float32)
+    env = np.ones((g, L), np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        in_ramp = np.sqrt(lane / np.maximum(sf[:, None], 1))
+        out_ramp = np.sqrt((lens[:, None] - 1 - lane)
+                           / np.maximum(ef[:, None], 1))
+    env = np.where(lane < sf[:, None], in_ramp, env)
+    env = np.where((lane >= (lens - ef)[:, None]) & (lane < lens[:, None]),
+                   np.minimum(env, out_ramp), env)
+    if envelope is not None:
+        # modify_volume(g) samples g at frame/sr; hann(tt/ln) = hann(l/len)
+        frac = lane / np.maximum(lens[:, None], 1)
+        env = env * np.asarray(envelope(frac.astype(np.float32)),
+                               np.float32)
+    env = (env * mask).astype(np.float32)
+
+    grains = jnp.take(self.data, jnp.asarray(idx), axis=1)  # [C, G, L]
+    grains = grains.transpose(1, 0, 2) * jnp.asarray(env)[:, None, :]
+    out_n = int((starts_out + lens).max())
+    data = _scatter_mix_blocks(grains, starts_out, out_n)
+    return Audio(data=data, sample_rate=sr)
+
+
 def granulate(self, length: float, grains_per_second, time_scatter,
               time_selection, grain_length, fade_time=0.0, mod=None,
-              *, seed: int = 0):
+              *, seed: int = 0, _envelope=None):
     """Granular synthesis reading grains from the input
-    (reference AudioSynthesis.cpp:572-609)."""
+    (reference AudioSynthesis.cpp:572-609). With no mod the grains
+    extract, fade and mix as three batched device programs; a mod falls
+    back to the reference-shaped per-event path."""
     from flan_tpu.audio.audio import Audio
     if self.is_null():
         return Audio.create_null()
     sel_fn = as_function(time_selection)
     gl_fn = as_function(grain_length)
     ft_fn = as_function(fade_time)
+
+    if mod is None:
+        times = integrate_event_rate(length, grains_per_second,
+                                     time_scatter, self.sample_rate,
+                                     seed=seed)
+        if len(times) == 0:
+            return Audio.create_null()
+        tj = jnp.asarray(times, jnp.float32)
+        sels = np.asarray(sel_fn(tj), np.float64).reshape(-1)
+        sels = np.broadcast_to(sels, times.shape)
+        gls = np.asarray(gl_fn(tj), np.float64).reshape(-1)
+        gls = np.broadcast_to(gls, times.shape)
+        fts = np.asarray(ft_fn(tj), np.float64).reshape(-1)
+        fts = np.broadcast_to(fts, times.shape)
+        return _granulate_batched(self, times, sels, gls, fts,
+                                  envelope=_envelope)
 
     def scalar(fn, t):
         return float(np.asarray(fn(jnp.float32(t))).reshape(())) \
@@ -508,8 +617,13 @@ def granulate(self, length: float, grains_per_second, time_scatter,
         gl = scalar(gl_fn, t)
         ft = scalar(ft_fn, t)
         grain = self.cut(sel, sel + gl, ft, ft)
-        if mod is not None and not grain.is_null():
-            grain = mod(grain, t)
+        if grain.is_null():
+            return grain
+        grain = mod(grain, t)
+        if _envelope is not None and not grain.is_null():
+            ln = grain.length
+            grain = grain.modify_volume(
+                lambda tt: _envelope(tt / ln))
         return grain
 
     return synthesize_grains(length, grains_per_second, time_scatter,
@@ -534,12 +648,8 @@ def psola(self, length: float, time_selection, mod=None, *, seed: int = 0):
         v = float(np.asarray(freq(jnp.float32(sel(t)))).reshape(()))
         return max(v, 1e-3)
 
-    def composition_mod(a, t):
-        if mod is not None:
-            a = mod(a, t)
-        ln = a.length
-        return a.modify_volume(lambda tt: hann(tt / ln))
-
+    # the hann window over each grain's true length rides the _envelope
+    # hook so the no-mod case stays on the batched dense path
     return granulate(
         self, length,
         lambda t: jnp.maximum(jnp.asarray(
@@ -550,4 +660,4 @@ def psola(self, length: float, time_selection, mod=None, *, seed: int = 0):
         lambda t: 2.0 / jnp.maximum(jnp.asarray(
             [freq_at(float(x)) for x in np.atleast_1d(np.asarray(t))],
             jnp.float32).reshape(jnp.shape(t)), 1e-3),
-        0.05, composition_mod, seed=seed)
+        0.05, mod, seed=seed, _envelope=hann)

@@ -37,9 +37,16 @@ def _plan(n: int, m: int):
     return dft, step, nblocks
 
 
+@jax.jit
 def fft_convolve_full(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     """Full linear convolution along the last axis: [C, n] conv [C, m]
-    -> [C, n + m - 1] (callers pad/trim to their length conventions)."""
+    -> [C, n + m - 1] (callers pad/trim to their length conventions).
+
+    Jitted at module level: the blocked form is ~100 primitives, and
+    eager per-op dispatch through the remote TPU client measured 0.6 s
+    where the compiled program runs 26 ms (round 3; the whole-signal XLA
+    FFT pair measured 33.8 ms compiled). All control flow is shape-static
+    so the jit caches per (n, m, C)."""
     from flan_tpu.ops.mxu_fft import irfft_mxu, rfft_mxu
     c, n = x.shape
     assert h.shape[0] == c, (x.shape, h.shape)

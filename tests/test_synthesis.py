@@ -202,3 +202,33 @@ def test_texture_mod_untraceable_falls_back():
     mod = lambda src, tt: src.cut(0.0, 0.05 + float(tt) * 0.0)
     out = a.texture(1.0, 10.0, 0.0, mod=mod, seed=1)
     assert not out.is_null()
+
+
+def test_granulate_batched_matches_sequential():
+    """granulate with no mod (dense batched path) equals the per-event
+    fallback (forced via an identity mod), including cut end clamps,
+    fade shrink (fade > grain/2) and dropped null grains."""
+    rng = np.random.default_rng(11)
+    sr = 8000.0
+    a = Audio.create_from_array(
+        rng.standard_normal((2, 8000)).astype(np.float32) * 0.3, sr)
+    kw = dict(time_selection=lambda t: 0.8 * t,   # runs past the end
+              grain_length=0.05, fade_time=0.04,  # forces fade shrink
+              seed=5)
+    fast = a.granulate(1.2, 25.0, 0.05, **kw)
+    slow = a.granulate(1.2, 25.0, 0.05, mod=lambda g, t: g, **kw)
+    assert fast.num_frames == slow.num_frames
+    np.testing.assert_allclose(np.asarray(fast.data),
+                               np.asarray(slow.data), atol=2e-5)
+
+
+def test_psola_batched_matches_sequential():
+    sr = 8000.0
+    t = np.arange(8000, dtype=np.float32) / sr
+    a = Audio.create_from_array(
+        (0.5 * np.sin(2 * np.pi * 220.0 * t))[None], sr)
+    fast = a.psola(0.8, lambda tt: 0.5 * tt, seed=2)
+    slow = a.psola(0.8, lambda tt: 0.5 * tt, mod=lambda g, x: g, seed=2)
+    assert fast.num_frames == slow.num_frames
+    np.testing.assert_allclose(np.asarray(fast.data),
+                               np.asarray(slow.data), atol=2e-5)
