@@ -10,6 +10,7 @@ flan_tpu.audio.__init__.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, List, Optional, Sequence
 
@@ -267,6 +268,20 @@ def synthesize_grains(length: float, grains_per_second, time_scatter,
     return Audio.mix(grains, start_times=list(times[:len(grains)]))
 
 
+@functools.partial(jax.jit, static_argnames=("out_frames",))
+def _impulse_train_conv(frames, gains, grain, *, out_frames: int):
+    """Impulse train built ON DEVICE from the tiny event list, then one
+    overlap-save MXU convolution (ops/fft_conv.py). Building the train on
+    the host shipped a multi-MB array through the remote transport every
+    call - the dominant cost of the round-2 texture config (237x); the
+    event list is a few KB."""
+    from flan_tpu.ops.fft_conv import fft_convolve_full
+    train = jnp.zeros((out_frames,), jnp.float32).at[frames].add(gains)
+    train_mat = jnp.broadcast_to(train[None],
+                                 (grain.shape[0], out_frames))
+    return fft_convolve_full(train_mat, grain)[:, :out_frames]
+
+
 def _mix_repeated(audio, times: np.ndarray, gains=None):
     """Sum copies of one clip at event times: one FFT convolution with an
     impulse train instead of len(times) scatter-adds (the reference's
@@ -276,18 +291,11 @@ def _mix_repeated(audio, times: np.ndarray, gains=None):
     sr = audio.sample_rate
     frames = np.asarray(np.round(np.asarray(times) * sr), np.int64)
     out_frames = int(frames.max()) + audio.num_frames
-    train = np.zeros(out_frames, np.float32)
-    np.add.at(train, frames,
-              np.ones(len(frames), np.float32) if gains is None
-              else np.asarray(gains, np.float32))
-    # one compiled overlap-save MXU convolution (ops/fft_conv.py, jitted)
-    # of the long impulse train against the short grain; the eager
-    # whole-signal jnp.fft pair paid per-primitive remote dispatch
-    # (texture config 237x, round 2)
-    from flan_tpu.ops.fft_conv import fft_convolve_full
-    train_mat = jnp.broadcast_to(jnp.asarray(train)[None],
-                                 (audio.num_channels, out_frames))
-    out = fft_convolve_full(train_mat, audio.data)[:, :out_frames]
+    g = (np.ones(len(frames), np.float32) if gains is None
+         else np.asarray(gains, np.float32))
+    out = _impulse_train_conv(jnp.asarray(frames, jnp.int32),
+                              jnp.asarray(g), audio.data,
+                              out_frames=out_frames)
     return Audio(data=out.astype(jnp.float32), sample_rate=sr)
 
 
@@ -505,8 +513,10 @@ def synthesize_trainlets(length: float, grains_per_second, time_scatter,
         if len(times) == 0:
             return Audio.create_null()
         gains = [scalar(env_fn, float(tt)) for tt in times]
-        train = Audio.mix([impulse] * len(times), start_times=list(times),
-                          gains=gains)
+        # identical copies at offsets = one impulse-train convolution
+        # (device-built train, _mix_repeated) instead of per-copy mix
+        train = _mix_repeated(impulse, np.asarray(times),
+                              gains=np.asarray(gains, np.float32))
         pos = pos_fn(t)
         return train.stereo_spatialize(pos) if hasattr(
             train, "stereo_spatialize") else train.convert_to_stereo()
