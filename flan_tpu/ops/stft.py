@@ -89,8 +89,16 @@ def rfft_mag_phase(x: jnp.ndarray, n: int):
     else:
         spec = jnp.fft.rfft(x, n=n, axis=-1)
         re, im = jnp.real(spec), jnp.imag(spec)
-    mag = jnp.sqrt(re * re + im * im).astype(jnp.float32)
-    phase = jnp.arctan2(im, re).astype(jnp.float32)
+    # forward-exact, gradient-safe polar extraction: sqrt/atan2 have NaN
+    # grads at (0, 0) (all-zero frames); dead points route through
+    # dummies (atan2(0, 1) = 0 = IEEE atan2(0, 0), so values are equal)
+    energy = re * re + im * im
+    dead = energy == 0.0
+    mag = jnp.where(dead, 0.0,
+                    jnp.sqrt(jnp.where(dead, 1.0, energy))).astype(
+        jnp.float32)
+    phase = jnp.arctan2(jnp.where(dead, 0.0, im),
+                        jnp.where(dead, 1.0, re)).astype(jnp.float32)
     return mag, phase
 
 

@@ -225,8 +225,15 @@ def _spv_forward_scan(x, *, nbins: int, sample_rate: float,
         conv_re = stencil(f_re, True)
         conv_im = stencil(f_im, False)
 
-        mag = jnp.sqrt(conv_re * conv_re + conv_im * conv_im)
-        phase = jnp.arctan2(conv_im, conv_re)
+        # forward-exact but gradient-safe polar extraction: sqrt/atan2
+        # have NaN grads at (0, 0) (zero-signal frames, e.g. the padded
+        # lead-in), so zero-energy points route through dummies
+        energy = conv_re * conv_re + conv_im * conv_im
+        dead = energy == 0.0
+        mag = jnp.where(dead, 0.0,
+                        jnp.sqrt(jnp.where(dead, 1.0, energy)))
+        phase = jnp.arctan2(jnp.where(dead, 0.0, conv_im),
+                            jnp.where(dead, 1.0, conv_re))
         prev = jnp.concatenate([prev_phase[:, None, :], phase[:, :-1]],
                                axis=1)
         # The reference skips wrapping when analysis_rate == sample_rate

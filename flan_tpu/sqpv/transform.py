@@ -83,18 +83,51 @@ def _sqpv_forward_scan(x, *, sample_rate: float, bins_per_octave: float,
     t2_im = jnp.asarray(t2.imag, jnp.float32)
 
     fiddle = np.exp(-1j * 2.0 * np.pi * q)  # AudioSQPV.cpp:82
-    half = jnp.asarray(periods.astype(np.float64) * 0.5, jnp.float32)
     inv_n = jnp.asarray(1.0 / periods.astype(np.float64), jnp.float32)
     bin_freq = jnp.asarray(freqs, jnp.float32)
     expected = bin_freq / sample_rate * (2.0 * jnp.pi)
 
-    def sample_at(tvals, offset_sign):
-        # trunc(t + sign*N_k/2) with C++ toward-zero semantics; OOB -> 0
-        idx = jnp.trunc(tvals[None, :] + offset_sign * half[:, None])
-        valid = (idx >= 0) & (idx < n)
-        idx_c = jnp.clip(idx, 0, n - 1).astype(jnp.int32)
-        vals = jnp.take(x, idx_c.reshape(-1), axis=1)
+    # The half-period offsets trunc(t +- N_k/2) are *static per bin*, so
+    # the per-sample reads restructure as ONE dynamic_slice span per chunk
+    # + a static-index gather (compiles to slices/permutes) - the previous
+    # form gathered with data-dependent indices from the full [C, n]
+    # signal, whose cost scales with the operand (CLAUDE.md; measured 5x
+    # realtime for the whole forward). C++ toward-zero trunc semantics
+    # (AudioSQPV.cpp:100-103) are reproduced exactly by clip+mask:
+    #   plus:  trunc(t + N/2) = t + N//2 for t >= -off_m, where the lone
+    #          t = -off_m (odd N) truncates -0.5 -> 0 = the clip result
+    #   minus: trunc(t - N/2) = t - off_m for t >= off_p, where the lone
+    #          t = off_p (odd N) truncates -0.5 -> 0 = the clip result
+    off_p_np = (periods // 2).astype(np.int64)
+    off_m_np = ((periods + 1) // 2).astype(np.int64)
+    pad_l = w0 + int(off_m_np.max())
+    span_len = L + int(off_p_np.max()) + int(off_m_np.max())
+    xq_len = (nchunks - 1) * L + span_len
+    xq = jnp.pad(x, [(0, 0), (pad_l, max(0, xq_len - n - pad_l))])
+    j_base = np.arange(L, dtype=np.int64)[None, :] - w0 + pad_l
+    J_plus = jnp.asarray(j_base + off_p_np[:, None], jnp.int32)   # [B, L]
+    J_minus = jnp.asarray(j_base - off_m_np[:, None], jnp.int32)
+    off_p = jnp.asarray(off_p_np, jnp.float32)
+    off_m = jnp.asarray(off_m_np, jnp.float32)
+
+    odd = jnp.asarray((periods % 2 == 1).astype(np.float32))
+
+    def sample_at(span, tvals, offset_sign):
+        # the lone toward-zero quirk sample per odd-N bin (trunc(-0.5)=0,
+        # reading x[0]) lands one slot into the zero pad under the static
+        # index form; it is added back explicitly from x[:, 0]
+        if offset_sign > 0:
+            vals = jnp.take(span, J_plus.reshape(-1), axis=1)
+            valid = ((tvals[None, :] >= -off_m[:, None])
+                     & (tvals[None, :] + off_p[:, None] <= n - 1))
+            quirk = (tvals[None, :] == -off_m[:, None]) * odd[:, None]
+        else:
+            vals = jnp.take(span, J_minus.reshape(-1), axis=1)
+            valid = ((tvals[None, :] >= off_p[:, None])
+                     & (tvals[None, :] - off_m[:, None] <= n - 1))
+            quirk = (tvals[None, :] == off_p[:, None]) * odd[:, None]
         vals = vals.reshape(c, nbins, L) * valid[None].astype(jnp.float32)
+        vals = vals + x[:, 0][:, None, None] * quirk[None]
         return vals  # [C, B, L]
 
     def cumsum_l(v):  # [C, L, B*3] inclusive cumsum over axis 1 on the MXU
@@ -102,9 +135,11 @@ def _sqpv_forward_scan(x, *, sample_rate: float, bins_per_octave: float,
 
     def body(carry, t0):
         f_re, f_im, prev_phase = carry  # [C, B, 3], [C, B, 3], [C, B]
-        tvals = (t0 + jnp.arange(L, dtype=jnp.float32)) - float(w0)
-        new = sample_at(tvals, +1.0)                     # [C, B, L]
-        old = sample_at(tvals, -1.0)
+        span = jax.lax.dynamic_slice(xq, (0, t0), (c, span_len))
+        tvals = (t0.astype(jnp.float32)
+                 + jnp.arange(L, dtype=jnp.float32)) - float(w0)
+        new = sample_at(span, tvals, +1.0)               # [C, B, L]
+        old = sample_at(span, tvals, -1.0)
         u_re = ((fiddle.real * new - old) * inv_n[None, :, None]
                 ).transpose(0, 2, 1)                     # [C, L, B]
         u_im = ((fiddle.imag * new) * inv_n[None, :, None]).transpose(0, 2, 1)
@@ -143,7 +178,7 @@ def _sqpv_forward_scan(x, *, sample_rate: float, bins_per_octave: float,
     init = (jnp.zeros((c, nbins, 3), jnp.float32),
             jnp.zeros((c, nbins, 3), jnp.float32),
             jnp.zeros((c, nbins), jnp.float32))
-    t0s = (jnp.arange(nchunks) * L).astype(jnp.float32)
+    t0s = (jnp.arange(nchunks) * L).astype(jnp.int32)
     _, (mags, freqs_out) = jax.lax.scan(body, init, t0s)
     mags = mags.transpose(1, 0, 2, 3).reshape(c, tpad, nbins)
     freqs_out = freqs_out.transpose(1, 0, 2, 3).reshape(c, tpad, nbins)
