@@ -144,14 +144,20 @@ def _cumsum_frames_tri(x: jnp.ndarray, block: int = 128,
     return (inner + offs[:, :, None, :]).reshape(c, t, b)
 
 
-_SPV_CHUNK = 256
+# chunk/precision defaults from the round-3 on-chip sweep (tools/
+# sweep_spv.py): 256/HIGHEST = 134.9x, 1024/HIGHEST = 178.2x,
+# 1024/HIGH = 187.9x with identical 30.4 dB aligned round-trip SNR (the
+# algorithmic floor; the cumsum operands are bounded amplitudes, not
+# phase, so 3-pass bf16 loses nothing audible)
+_SPV_CHUNK = 1024
+_SPV_PRECISION = jax.lax.Precision.HIGH
 
 
 @functools.partial(jax.jit, static_argnames=("nbins", "sample_rate",
                                              "chunk", "cumsum_precision"))
 def _spv_forward_scan(x, *, nbins: int, sample_rate: float,
                       chunk: int = _SPV_CHUNK,
-                      cumsum_precision=jax.lax.Precision.HIGHEST):
+                      cumsum_precision=_SPV_PRECISION):
     """Streaming sliding-DFT forward: peak HBM O(chunk x bins), not O(N x B).
 
     The naive form materializes [C, N, B] complex contributions twice -
@@ -260,7 +266,7 @@ def _spv_forward_scan(x, *, nbins: int, sample_rate: float,
 
 def spv_forward(x: jnp.ndarray, nbins: int, sample_rate: float,
                 chunk: int = _SPV_CHUNK,
-                cumsum_precision=jax.lax.Precision.HIGHEST):
+                cumsum_precision=_SPV_PRECISION):
     """Audio [C, N] -> (mag, freq) [C, N, nbins] via sliding DFT + PV."""
     return _spv_forward_scan(x, nbins=nbins, sample_rate=float(sample_rate),
                              chunk=chunk, cumsum_precision=cumsum_precision)
