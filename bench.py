@@ -250,11 +250,20 @@ def bench_convolve_texture():
         _sync(tex.data)
 
     best_tex = _best_time(run_texture, reps=2)
+
+    def run_granulate():
+        # dense batched path: one static gather + envelopes + block mixer
+        out = a.granulate(seconds, 20.0, 0.1, lambda t: 0.5 * t, 0.1,
+                          0.01, seed=0)
+        _sync(out.data)
+
+    best_gran = _best_time(run_granulate, reps=2)
     return {
         "metric": "convolve_reverb_x_realtime_30s_stereo",
         "value": round(seconds / best, 2),
         "unit": "x_realtime",
         "texture_x_realtime": round(seconds / best_tex, 2),
+        "granulate_x_realtime": round(seconds / best_gran, 2),
     }
 
 

@@ -227,16 +227,39 @@ def integrate_event_rate(length: float, events_per_second, scatter,
     n = int(length * sample_rate)
     if n <= 0:
         return np.zeros((0,))
-    eps = np.maximum(_sample_fn(events_per_second, n, 1.0 / sample_rate),
-                     0.0)
-    sc = np.maximum(_sample_fn(scatter, n, 1.0 / sample_rate), 0.0)
+    eps_f = as_function(events_per_second)
+    sc_f = as_function(scatter)
 
-    # accumulator starts at 1, so frame 0 always fires
-    # (reference AudioSynthesis.cpp:328-338)
-    acc = 1.0 + np.cumsum(eps / sample_rate)
-    crossings = np.floor(acc)
-    events = np.nonzero(np.diff(np.concatenate([[0.0], crossings])) >= 1.0
-                        )[0]
+    if eps_f.is_constant and sc_f.is_constant:
+        # analytic integer crossings of acc[k] = 1 + c*(k+1): O(events)
+        # instead of an O(n) cumsum/floor/diff sweep over every sample
+        # (the host sweep cost as much as the whole device render for a
+        # 30 s texture, round 3). Ties differ from the cumsum form only
+        # at exact float crossings (measure zero).
+        c = max(float(eps_f.constant_value), 0.0) / sample_rate
+        if c <= 0.0:
+            events = np.array([0], np.int64)
+        else:
+            m_max = int(np.floor(1.0 + c * n))
+            m = np.arange(2, m_max + 1, dtype=np.float64)
+            ks = np.ceil((m - 1.0) / c - 1.0).astype(np.int64)
+            ks = ks[(ks >= 0) & (ks < n)]
+            events = np.unique(np.concatenate([[0], ks]))
+        eps = np.broadcast_to(
+            np.float64(max(float(eps_f.constant_value), 0.0)), (n,))
+        sc = np.broadcast_to(
+            np.float64(max(float(sc_f.constant_value), 0.0)), (n,))
+    else:
+        eps = np.maximum(_sample_fn(events_per_second, n,
+                                    1.0 / sample_rate), 0.0)
+        sc = np.maximum(_sample_fn(scatter, n, 1.0 / sample_rate), 0.0)
+
+        # accumulator starts at 1, so frame 0 always fires
+        # (reference AudioSynthesis.cpp:328-338)
+        acc = 1.0 + np.cumsum(eps / sample_rate)
+        crossings = np.floor(acc)
+        events = np.nonzero(
+            np.diff(np.concatenate([[0.0], crossings])) >= 1.0)[0]
 
     rng = np.random.default_rng(seed)
     if len(events):

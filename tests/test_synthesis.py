@@ -232,3 +232,20 @@ def test_psola_batched_matches_sequential():
     assert fast.num_frames == slow.num_frames
     np.testing.assert_allclose(np.asarray(fast.data),
                                np.asarray(slow.data), atol=2e-5)
+
+
+def test_integrate_event_rate_analytic_matches_cumsum():
+    """The constant-rate analytic fast path equals the O(n) cumsum sweep
+    up to exact-integer crossing ties (where the cumsum's accumulated
+    f64 rounding resolves arbitrarily): event counts within 1 and every
+    event within 1 frame."""
+    from flan_tpu.audio.synthesis import integrate_event_rate
+    for L, e, s, sr in [(2.0, 13.3, 0.0, 8000.0), (1.0, 7.0, 0.0, 8000.0),
+                        (0.5, 100.0, 0.0, 44100.0)]:
+        fast = integrate_event_rate(L, e, s, sr, seed=0)
+        slow = integrate_event_rate(L, lambda t: e + 0.0 * t,
+                                    lambda t: s + 0.0 * t, sr, seed=0)
+        assert abs(len(fast) - len(slow)) <= 1, (len(fast), len(slow))
+        m = min(len(fast), len(slow))
+        assert np.abs(np.asarray(fast[:m]) * sr
+                      - np.asarray(slow[:m]) * sr).max() <= 1.0 + 1e-6
