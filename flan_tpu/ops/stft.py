@@ -78,7 +78,15 @@ _TRI_BLOCK = 256
 # Route the hot (i)rFFTs through the matmul Cooley-Tukey form
 # (flan_tpu.ops.mxu_fft): XLA's native TPU FFT measured ~27 Gflops here,
 # two orders of magnitude under the MXU.
-USE_MXU_FFT = True
+# Round-3 on-chip A/B (tools/bench_headline_fft.py): the full stretch
+# pipeline runs 620.1x with XLA's native FFT vs 582.4x with the MXU
+# matmul FFT, and standalone chained rffts at dft 4096 measure 3.3 ms
+# (XLA) vs 15.7 ms (MXU) for 1152 transforms. Round 2's opposite
+# conclusion ("XLA FFT ~27 Gflops, matmul form is the fast path") was an
+# eager-dispatch measurement artifact (CLAUDE.md). The MXU form still
+# wins inside the overlap-save convolution at 2^17 blocks
+# (ops/fft_conv.py imports it directly) and is kept as the alternative.
+USE_MXU_FFT = False
 
 
 def rfft_mag_phase(x: jnp.ndarray, n: int):
