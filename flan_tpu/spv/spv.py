@@ -201,12 +201,11 @@ def _spv_forward_scan(x, *, nbins: int, sample_rate: float,
         w_im = jax.lax.dynamic_slice(tw_im, (off, 0), (chunk, nbins))
         contrib_re = deltas[:, :, None] * w_re[None]
         contrib_im = deltas[:, :, None] * w_im[None]
-        # fiddled prefix sum (AudioSPV.cpp:54-59), chained across chunks;
-        # re/im stack along bins so both planes ride ONE tri matmul
-        contrib = jnp.concatenate([contrib_re, contrib_im], axis=-1)
-        s = _cumsum_frames_tri(contrib, precision=cumsum_precision)
-        s_re = s[..., :nbins] + sum_re[:, None, :]
-        s_im = s[..., nbins:] + sum_im[:, None, :]
+        # fiddled prefix sum (AudioSPV.cpp:54-59), chained across chunks
+        s_re = _cumsum_frames_tri(contrib_re, precision=cumsum_precision) \
+            + sum_re[:, None, :]
+        s_im = _cumsum_frames_tri(contrib_im, precision=cumsum_precision) \
+            + sum_im[:, None, :]
 
         # rotate to the frame's reference phase: * conj(twiddle(f+1, b))
         cn_re = jax.lax.dynamic_slice(tw_re, (off + 1, 0), (chunk, nbins))

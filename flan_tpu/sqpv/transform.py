@@ -71,13 +71,17 @@ def _sqpv_forward_scan(x, *, sample_rate: float, bins_per_octave: float,
     nchunks = -(-total // L)
     tpad = nchunks * L
 
-    # host tables (float64 -> float32): local-index twiddle powers
+    # host tables (float64 -> float32): local-index twiddle powers.
+    # LAYOUT: the three spectral-hann twiddle lines live on a LEADING
+    # axis [3, L, B] - a trailing [..., B, 3] put 3 in the 128-lane axis
+    # and ran every elementwise op at ~2% lane utilization (CLAUDE.md
+    # "keep the long axis lane-major"; measured 5x realtime before).
     jv = np.array([-1.0, 0.0, 1.0])
-    theta = 2.0 * np.pi * (q + jv[None, :]) / periods[:, None]  # [B, 3]
+    theta = 2.0 * np.pi * (q + jv[:, None]) / periods[None, :]  # [3, B]
     i_loc = np.arange(L, dtype=np.float64)
-    t1 = np.exp(-1j * i_loc[:, None, None] * theta[None])       # a^{-i}
-    t2 = np.exp(1j * (i_loc + 1.0)[:, None, None] * theta[None])  # a^{j+1}
-    t1_re = jnp.asarray(t1.real, jnp.float32)
+    t1 = np.exp(-1j * i_loc[None, :, None] * theta[:, None, :])  # a^{-i}
+    t2 = np.exp(1j * (i_loc + 1.0)[None, :, None] * theta[:, None, :])
+    t1_re = jnp.asarray(t1.real, jnp.float32)    # [3, L, B]
     t1_im = jnp.asarray(t1.imag, jnp.float32)
     t2_re = jnp.asarray(t2.real, jnp.float32)
     t2_im = jnp.asarray(t2.imag, jnp.float32)
@@ -134,7 +138,7 @@ def _sqpv_forward_scan(x, *, sample_rate: float, bins_per_octave: float,
         return _cumsum_frames_tri(v, precision=cumsum_precision)
 
     def body(carry, t0):
-        f_re, f_im, prev_phase = carry  # [C, B, 3], [C, B, 3], [C, B]
+        f_re, f_im, prev_phase = carry  # [3, C, B], [3, C, B], [C, B]
         span = jax.lax.dynamic_slice(xq, (0, t0), (c, span_len))
         tvals = (t0.astype(jnp.float32)
                  + jnp.arange(L, dtype=jnp.float32)) - float(w0)
@@ -144,21 +148,21 @@ def _sqpv_forward_scan(x, *, sample_rate: float, bins_per_octave: float,
                 ).transpose(0, 2, 1)                     # [C, L, B]
         u_im = ((fiddle.imag * new) * inv_n[None, :, None]).transpose(0, 2, 1)
 
-        # v = a^{-i} * u, broadcast over the three twiddle lines
-        v_re = u_re[..., None] * t1_re[None] - u_im[..., None] * t1_im[None]
-        v_im = u_re[..., None] * t1_im[None] + u_im[..., None] * t1_re[None]
-        s_re = cumsum_l(v_re.reshape(c, L, nbins * 3)).reshape(v_re.shape)
-        s_im = cumsum_l(v_im.reshape(c, L, nbins * 3)).reshape(v_im.shape)
-        s_re = s_re + f_re[:, None]
-        s_im = s_im + f_im[:, None]
+        # v = a^{-i} * u over the three twiddle lines (leading axis)
+        v_re = u_re[None] * t1_re[:, None] - u_im[None] * t1_im[:, None]
+        v_im = u_re[None] * t1_im[:, None] + u_im[None] * t1_re[:, None]
+        s_re = cumsum_l(v_re.reshape(3 * c, L, nbins)).reshape(v_re.shape)
+        s_im = cumsum_l(v_im.reshape(3 * c, L, nbins)).reshape(v_im.shape)
+        s_re = s_re + f_re[:, :, None]                   # [3, C, L, B]
+        s_im = s_im + f_im[:, :, None]
         # F = a^{j+1} * (F_prev + cumsum)
-        F_re = s_re * t2_re[None] - s_im * t2_im[None]   # [C, L, B, 3]
-        F_im = s_re * t2_im[None] + s_im * t2_re[None]
+        F_re = s_re * t2_re[:, None] - s_im * t2_im[:, None]
+        F_im = s_re * t2_im[:, None] + s_im * t2_re[:, None]
 
         # spectral hann window (AudioSQPV.cpp:110-112):
         # 0.5 * F_0 - 0.25 * (F_-1 + F_+1)
-        fw_re = 0.5 * F_re[..., 1] - 0.25 * (F_re[..., 0] + F_re[..., 2])
-        fw_im = 0.5 * F_im[..., 1] - 0.25 * (F_im[..., 0] + F_im[..., 2])
+        fw_re = 0.5 * F_re[1] - 0.25 * (F_re[0] + F_re[2])
+        fw_im = 0.5 * F_im[1] - 0.25 * (F_im[0] + F_im[2])
 
         mag = jnp.sqrt(fw_re * fw_re + fw_im * fw_im)
         phase = jnp.arctan2(fw_im, fw_re)
@@ -171,12 +175,12 @@ def _sqpv_forward_scan(x, *, sample_rate: float, bins_per_octave: float,
         freq = bin_freq[None, None, :] + delta * (sample_rate
                                                   / (2.0 * jnp.pi))
 
-        new_carry = (F_re[:, -1], F_im[:, -1], phase[:, -1])
+        new_carry = (F_re[:, :, -1], F_im[:, :, -1], phase[:, -1])
         return new_carry, (mag.astype(jnp.float32),
                            freq.astype(jnp.float32))
 
-    init = (jnp.zeros((c, nbins, 3), jnp.float32),
-            jnp.zeros((c, nbins, 3), jnp.float32),
+    init = (jnp.zeros((3, c, nbins), jnp.float32),
+            jnp.zeros((3, c, nbins), jnp.float32),
             jnp.zeros((c, nbins), jnp.float32))
     t0s = (jnp.arange(nchunks) * L).astype(jnp.int32)
     _, (mags, freqs_out) = jax.lax.scan(body, init, t0s)
