@@ -585,30 +585,56 @@ def _granulate_batched(self, times: np.ndarray, sels: np.ndarray,
     sf = np.where(over, (sf * scale).astype(np.int64), sf)
     ef = np.where(over, lens - sf, ef)
 
+    # the [G, L] gather-index and envelope matrices are built ON DEVICE
+    # from the [G]-sized per-grain scalars: shipping them from the host
+    # (~23 MB at 600 grains x 0.1 s) cost more than the whole render
+    # through the remote transport (granulate measured 40x before)
     L = int(lens.max())
-    lane = np.arange(L, dtype=np.int64)[None, :]
-    idx = np.minimum(s0[:, None] + lane, n - 1)          # [G, L] static
-    mask = (lane < lens[:, None]).astype(np.float32)
-    env = np.ones((g, L), np.float32)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        in_ramp = np.sqrt(lane / np.maximum(sf[:, None], 1))
-        out_ramp = np.sqrt((lens[:, None] - 1 - lane)
-                           / np.maximum(ef[:, None], 1))
-    env = np.where(lane < sf[:, None], in_ramp, env)
-    env = np.where((lane >= (lens - ef)[:, None]) & (lane < lens[:, None]),
-                   np.minimum(env, out_ramp), env)
+    out_n = int((starts_out + lens).max())
+    data = _granulate_render(
+        self.data, jnp.asarray(s0, jnp.int32), jnp.asarray(lens, jnp.int32),
+        jnp.asarray(sf, jnp.int32), jnp.asarray(ef, jnp.int32),
+        jnp.asarray(starts_out // 128, jnp.int32),
+        jnp.asarray(starts_out % 128, jnp.int32),
+        L=L, out_n=out_n, envelope=envelope)
+    return Audio(data=data, sample_rate=sr)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "out_n", "envelope"))
+def _granulate_render(x, s0, lens, sf, ef, q, r_off, *, L: int, out_n: int,
+                      envelope):
+    """One compiled program: grain gather + fades/window + block mix."""
+    n = x.shape[-1]
+    lane = jnp.arange(L, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(s0[:, None] + lane, n - 1)             # [G, L]
+    mask = (lane < lens[:, None]).astype(jnp.float32)
+    lane_f = lane.astype(jnp.float32)
+    lens_f = lens[:, None].astype(jnp.float32)
+    sf_f = jnp.maximum(sf[:, None], 1).astype(jnp.float32)
+    ef_f = jnp.maximum(ef[:, None], 1).astype(jnp.float32)
+    env = jnp.ones(idx.shape, jnp.float32)
+    env = jnp.where(lane < sf[:, None], jnp.sqrt(lane_f / sf_f), env)
+    env = jnp.where((lane >= (lens - ef)[:, None]) & (lane < lens[:, None]),
+                    jnp.minimum(env, jnp.sqrt(jnp.maximum(
+                        lens_f - 1.0 - lane_f, 0.0) / ef_f)), env)
     if envelope is not None:
         # modify_volume(g) samples g at frame/sr; hann(tt/ln) = hann(l/len)
-        frac = lane / np.maximum(lens[:, None], 1)
-        env = env * np.asarray(envelope(frac.astype(np.float32)),
-                               np.float32)
-    env = (env * mask).astype(np.float32)
+        env = env * jnp.asarray(
+            envelope(lane_f / jnp.maximum(lens_f, 1.0)), jnp.float32)
+    env = env * mask
 
-    grains = jnp.take(self.data, jnp.asarray(idx), axis=1)  # [C, G, L]
-    grains = grains.transpose(1, 0, 2) * jnp.asarray(env)[:, None, :]
-    out_n = int((starts_out + lens).max())
-    data = _scatter_mix_blocks(grains, starts_out, out_n)
-    return Audio(data=data, sample_rate=sr)
+    grains = jnp.take(x, idx.reshape(-1), axis=1).reshape(
+        x.shape[0], idx.shape[0], L)                          # [C, G, L]
+    grains = grains.transpose(1, 0, 2) * env[:, None, :]
+
+    g, g_c = grains.shape[0], grains.shape[1]
+    aligned, nblk_g = _align_grains_to_blocks(grains, r_off, L, 128)
+    rows = aligned.reshape(g, g_c, nblk_g, 128) \
+        .transpose(0, 2, 1, 3).reshape(g * nblk_g, g_c, 128)
+    ids = (q[:, None] + jnp.arange(nblk_g)[None, :]).reshape(-1)
+    nblk_out = -(-(out_n + L) // 128) + 1
+    acc = jnp.zeros((nblk_out, g_c, 128), jnp.float32).at[ids].add(rows)
+    return acc.transpose(1, 0, 2).reshape(g_c, nblk_out * 128)[:, :out_n]
 
 
 def granulate(self, length: float, grains_per_second, time_scatter,
