@@ -104,17 +104,35 @@ def _cost_analysis(compiled):
         return None, None
 
 
-def _mfu_fields(compiled, best_s):
+def _stretch_flops_model(n, factor, hop=128, dft=4096, channels=2):
+    """Analytic FLOP model of the PV stretch: XLA's cost_analysis counts
+    zero flops for the native-FFT custom call, so the compiled-program
+    number alone wildly undercounts. Real FFTs ~ 2.5 * N * log2(N) flops
+    each; forward per input hop, inverse per output hop; remap/phase
+    work is O(bins) per hop (folded into a 20% fudge)."""
+    import math as _m
+    hops_in = n / hop
+    hops_out = hops_in * factor
+    per_fft = 2.5 * dft * _m.log2(dft)
+    return 1.2 * channels * (hops_in + hops_out) * per_fft
+
+
+def _mfu_fields(compiled, best_s, flops_model=None):
     """MFU/roofline fields for a timed compiled program (VERDICT round 2
-    item 6): XLA-counted flops, %-of-peak, and HBM bytes/s."""
+    item 6): XLA-counted flops, %-of-peak, and HBM bytes/s. When a
+    flops_model is given it overrides the XLA count for mfu (the count
+    excludes custom calls like the native FFT)."""
     out = {}
     flops, bytes_hbm = _cost_analysis(compiled)
     peak, kind = _device_peak_flops()
     if flops:
-        out["gflops_total"] = round(flops / 1e9, 1)
-        if peak:
-            out["mfu_pct"] = round(flops / best_s / peak * 100, 2)
-            out["device"] = kind
+        out["gflops_xla_counted"] = round(flops / 1e9, 1)
+    if flops_model:
+        out["gflops_model"] = round(flops_model / 1e9, 1)
+    eff = flops_model or flops
+    if eff and peak:
+        out["mfu_pct"] = round(eff / best_s / peak * 100, 3)
+        out["device"] = kind
     if bytes_hbm:
         out["hbm_gb_per_s"] = round(bytes_hbm / best_s / 1e9, 1)
     return out
@@ -144,15 +162,19 @@ def bench_headline():
         "vs_baseline": round(xrt / 50.0, 3),
         "sync_floor_ms": round(_sync_floor() * 1000, 1),
     }
-    out.update(_mfu_fields(compiled, best))
+    out.update(_mfu_fields(
+        compiled, best,
+        flops_model=_stretch_flops_model(x.shape[-1], 2.0)))
     return out
 
 
 def bench_batch():
     """Chip-saturation config (VERDICT round 2 item 6): 16 one-minute
-    stereo clips stretched as ONE vmapped batch. The headline's single
-    600 s clip leaves the MXU mostly idle between scan steps; batching
-    multiplies arithmetic intensity without more HBM traffic per clip."""
+    stereo clips stretched as ONE batch, folded into the channel axis
+    ([16, 2, n] -> [32, n]; every pipeline op batches over channels
+    natively). The vmapped form measured 430x aggregate - vmap turns the
+    pipeline's host-planned static gathers into dynamic ones; channel
+    folding keeps the single-clip program shape and just widens it."""
     import jax
     from flan_tpu.pipelines import pv_stretch_pipeline
     clip_seconds, nclips = 60.0, 16
@@ -160,12 +182,13 @@ def bench_batch():
     rng = np.random.default_rng(3)
     import jax.numpy as jnp
     xb = jnp.asarray(
-        np.asarray(base)[None]
-        * rng.uniform(0.5, 1.0, (nclips, 1, 1)).astype(np.float32))
+        (np.asarray(base)[None]
+         * rng.uniform(0.5, 1.0, (nclips, 1, 1)).astype(np.float32))
+        .reshape(nclips * 2, -1))
 
-    fj = jax.jit(jax.vmap(lambda v: pv_stretch_pipeline(
+    fj = jax.jit(lambda v: pv_stretch_pipeline(
         v, 2.0, window_size=2048, hop=128, dft_size=4096,
-        sample_rate=48000.0)))
+        sample_rate=48000.0))
     compiled = fj.lower(xb).compile()
 
     def run():
@@ -178,7 +201,10 @@ def bench_batch():
         "value": round(total / best, 2),
         "unit": "x_realtime_aggregate",
     }
-    out.update(_mfu_fields(compiled, best))
+    out.update(_mfu_fields(
+        compiled, best,
+        flops_model=_stretch_flops_model(xb.shape[-1], 2.0,
+                                         channels=nclips * 2)))
     return out
 
 

@@ -19,11 +19,13 @@ frames is one modulated prefix sum,
 with the inner cumsum as a lower-triangular MXU matmul and the a^(-i) /
 a^(j+1) tables host-precomputed in float64 (they depend only on the local
 index, so no table grows with signal length and only the per-chunk carry
-accumulates rounding). Peak HBM is O(chunk x bins), mirroring the SPV
-streaming scan. The reference's implicit float->int truncation of the
-half-period sample offsets (AudioSQPV.cpp:100-103: frame +- N_k/2.0f
-passed to an integer-argument lambda) is reproduced exactly by computing
-trunc indices in-trace.
+accumulates rounding). The comb operand stages once as B static shifted
+slices of the padded signal (O(n x bins) HBM - the same order as the
+transform's own output; per-chunk gathers of any index form measured 5x
+realtime, see the staging comment). The reference's implicit float->int
+truncation of the half-period sample offsets (AudioSQPV.cpp:100-103:
+frame +- N_k/2.0f passed to an integer-argument lambda) is reproduced
+exactly by the padding + the per-chunk quirk mask.
 """
 from __future__ import annotations
 
@@ -87,66 +89,66 @@ def _sqpv_forward_scan(x, *, sample_rate: float, bins_per_octave: float,
     t2_im = jnp.asarray(t2.imag, jnp.float32)
 
     fiddle = np.exp(-1j * 2.0 * np.pi * q)  # AudioSQPV.cpp:82
-    inv_n = jnp.asarray(1.0 / periods.astype(np.float64), jnp.float32)
     bin_freq = jnp.asarray(freqs, jnp.float32)
     expected = bin_freq / sample_rate * (2.0 * jnp.pi)
 
     # The half-period offsets trunc(t +- N_k/2) are *static per bin*, so
-    # the per-sample reads restructure as ONE dynamic_slice span per chunk
-    # + a static-index gather (compiles to slices/permutes) - the previous
-    # form gathered with data-dependent indices from the full [C, n]
-    # signal, whose cost scales with the operand (CLAUDE.md; measured 5x
-    # realtime for the whole forward). C++ toward-zero trunc semantics
-    # (AudioSQPV.cpp:100-103) are reproduced exactly by clip+mask:
-    #   plus:  trunc(t + N/2) = t + N//2 for t >= -off_m, where the lone
-    #          t = -off_m (odd N) truncates -0.5 -> 0 = the clip result
-    #   minus: trunc(t - N/2) = t - off_m for t >= off_p, where the lone
-    #          t = off_p (odd N) truncates -0.5 -> 0 = the clip result
+    # the comb operand u[b, t] = (fiddle*x[t+P_b] - x[t-M_b])/N_b stages
+    # ONCE for the whole (padded) timeline as B static slices of the
+    # zero-padded signal - plain shifted memcpys, lane-major over bins.
+    # Both gather forms measured ~5x realtime (data-dependent AND static
+    # per-chunk index matrices: gather cost scales with the operand on
+    # this backend, CLAUDE.md); the staged form costs O(n*B) HBM, the
+    # same order as the transform's own output. Out-of-range reads
+    # return 0 via the padding (replacing the validity masks); the C++
+    # toward-zero trunc quirk (AudioSQPV.cpp:100-103) - the lone
+    # t = -M_b (plus side) / t = P_b (minus side) sample per odd-period
+    # bin truncating -0.5 -> index 0, i.e. reading x[0] - is added back
+    # by a tiny per-chunk mask in the scan body.
     off_p_np = (periods // 2).astype(np.int64)
     off_m_np = ((periods + 1) // 2).astype(np.int64)
     pad_l = w0 + int(off_m_np.max())
-    span_len = L + int(off_p_np.max()) + int(off_m_np.max())
-    xq_len = (nchunks - 1) * L + span_len
-    xq = jnp.pad(x, [(0, 0), (pad_l, max(0, xq_len - n - pad_l))])
-    j_base = np.arange(L, dtype=np.int64)[None, :] - w0 + pad_l
-    J_plus = jnp.asarray(j_base + off_p_np[:, None], jnp.int32)   # [B, L]
-    J_minus = jnp.asarray(j_base - off_m_np[:, None], jnp.int32)
+    pad_r = max(0, tpad - w0 + int(off_p_np.max()) - n + 1)
+    xq = jnp.pad(x, [(0, 0), (pad_l, pad_r)])
+    fr, fi = float(fiddle.real), float(fiddle.imag)
+
+    def staged_u():
+        base = pad_l - w0  # xq index of global t = 0 minus w0 shift
+        urs, uis = [], []
+        for b in range(nbins):
+            s_new = base + int(off_p_np[b])
+            s_old = base - int(off_m_np[b])
+            new_b = jax.lax.slice(xq, (0, s_new), (c, s_new + tpad))
+            old_b = jax.lax.slice(xq, (0, s_old), (c, s_old + tpad))
+            scale = float(1.0 / periods[b])
+            urs.append((fr * new_b - old_b) * scale)
+            uis.append((fi * new_b) * scale)
+        return (jnp.stack(urs, axis=-1), jnp.stack(uis, axis=-1))
+
+    u_re_full, u_im_full = staged_u()                    # [C, tpad, B]
+
     off_p = jnp.asarray(off_p_np, jnp.float32)
     off_m = jnp.asarray(off_m_np, jnp.float32)
-
     odd = jnp.asarray((periods % 2 == 1).astype(np.float32))
-
-    def sample_at(span, tvals, offset_sign):
-        # the lone toward-zero quirk sample per odd-N bin (trunc(-0.5)=0,
-        # reading x[0]) lands one slot into the zero pad under the static
-        # index form; it is added back explicitly from x[:, 0]
-        if offset_sign > 0:
-            vals = jnp.take(span, J_plus.reshape(-1), axis=1)
-            valid = ((tvals[None, :] >= -off_m[:, None])
-                     & (tvals[None, :] + off_p[:, None] <= n - 1))
-            quirk = (tvals[None, :] == -off_m[:, None]) * odd[:, None]
-        else:
-            vals = jnp.take(span, J_minus.reshape(-1), axis=1)
-            valid = ((tvals[None, :] >= off_p[:, None])
-                     & (tvals[None, :] - off_m[:, None] <= n - 1))
-            quirk = (tvals[None, :] == off_p[:, None]) * odd[:, None]
-        vals = vals.reshape(c, nbins, L) * valid[None].astype(jnp.float32)
-        vals = vals + x[:, 0][:, None, None] * quirk[None]
-        return vals  # [C, B, L]
+    inv_n_row = jnp.asarray(1.0 / periods.astype(np.float64), jnp.float32)
 
     def cumsum_l(v):  # [C, L, B*3] inclusive cumsum over axis 1 on the MXU
         return _cumsum_frames_tri(v, precision=cumsum_precision)
 
     def body(carry, t0):
         f_re, f_im, prev_phase = carry  # [3, C, B], [3, C, B], [C, B]
-        span = jax.lax.dynamic_slice(xq, (0, t0), (c, span_len))
         tvals = (t0.astype(jnp.float32)
                  + jnp.arange(L, dtype=jnp.float32)) - float(w0)
-        new = sample_at(span, tvals, +1.0)               # [C, B, L]
-        old = sample_at(span, tvals, -1.0)
-        u_re = ((fiddle.real * new - old) * inv_n[None, :, None]
-                ).transpose(0, 2, 1)                     # [C, L, B]
-        u_im = ((fiddle.imag * new) * inv_n[None, :, None]).transpose(0, 2, 1)
+        u_re = jax.lax.dynamic_slice(u_re_full, (0, t0, 0),
+                                     (c, L, nbins))      # [C, L, B]
+        u_im = jax.lax.dynamic_slice(u_im_full, (0, t0, 0), (c, L, nbins))
+        # toward-zero trunc quirk: one x[0] read per odd-period bin/side
+        q_new = (tvals[:, None] == -off_m[None, :]) * odd[None, :]
+        q_old = (tvals[:, None] == off_p[None, :]) * odd[None, :]
+        quirk = (fr * q_new - q_old) * inv_n_row[None, :]  # [L, B]
+        u_re = u_re + x[:, 0][:, None, None] * quirk[None]
+        u_im = u_im + x[:, 0][:, None, None] * (fi * q_new
+                                                * inv_n_row[None, :])[None]
 
         # v = a^{-i} * u over the three twiddle lines (leading axis)
         v_re = u_re[None] * t1_re[:, None] - u_im[None] * t1_im[:, None]
