@@ -37,7 +37,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_CHUNK = 256
+# round-3 on-chip sweep (tools/sweep_spv.py, staged-slice forward):
+# chunk 256/HIGHEST = 112.3x, 1024/HIGHEST = 166.2x, 256/HIGH = 99.3x
+_CHUNK = 1024
 
 
 def _cq_params(sample_rate: float, bins_per_octave: float,
