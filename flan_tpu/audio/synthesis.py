@@ -657,7 +657,11 @@ def granulate(self, length: float, grains_per_second, time_scatter,
                                      seed=seed)
         if len(times) == 0:
             return Audio.create_null()
-        tj = jnp.asarray(times, jnp.float32)
+        # evaluate the control functions on NUMPY inputs: each jnp-array
+        # eval is an eager device round trip (~3x the sync floor through
+        # the remote client - measured as most of granulate's 200 ms);
+        # pure-arithmetic host lambdas never touch the device this way
+        tj = np.asarray(times, np.float32)
         sels = np.asarray(sel_fn(tj), np.float64).reshape(-1)
         sels = np.broadcast_to(sels, times.shape)
         gls = np.asarray(gl_fn(tj), np.float64).reshape(-1)
