@@ -1,0 +1,258 @@
+"""Fused Pallas TPU kernels for the SQPV sliding constant-Q transform.
+
+Why this exists: the lax.scan forward in flan_tpu/sqpv/transform.py
+materializes the three twiddle-line planes v/s/F ([3, C, L, B] re+im
+pairs — 6x the size of the staged comb operand) in HBM between XLA
+fusions, the same intermediate-plane round-tripping that capped the SPV
+scan (ops/spv_pallas.py docstring). Here each 128-frame tile runs as
+ONE Mosaic program: the staged comb operand feeds the three
+local-twiddle lines, a lower-triangular MXU prefix per line, the
+per-tile carry rotation, the spectral hann combine over the lines,
+polar extraction and the phase-vocoder frequency estimate — only the
+staged u and the final mag/freq planes touch HBM.
+
+The comb staging itself (B static shifted slices of the padded signal,
+plus the toward-zero trunc quirk now folded in as a host-precomputed
+scatter) stays in XLA: it is plain memcpy traffic that Mosaic cannot
+beat, and per-bin delays reach ~100k samples at 16 Hz so no VMEM ring
+can carry them (unlike SPV's uniform 2B delay).
+
+Semantics match transform.py's scan path (reference:
+src/flan/Conversions/AudioSQPV.cpp:1-170) except arctan2, supplied by
+the same degree-15 minimax polynomial as ops/spv_pallas.py. Carry
+rotation differs only in association order (per-128 tile instead of
+per-1024 chunk; |a| == 1), so mag matches to ~f32 ulp and freq to
+sub-0.1 Hz on live bins — asserted in tests/test_sqpv_pallas.py.
+
+Bins are padded to a multiple of 128 with period-1 dummy lines and
+zero comb input (their output is sliced off); any bins_per_octave /
+bandwidth therefore takes the fused path.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flan_tpu.ops.spv_pallas import _atan2, _interpret, _roll_rows
+
+_F = 128   # frames per tile: one MXU-tile of prefix accumulation
+
+
+def _cq_tables(sample_rate: float, bins_per_octave: float,
+               bandwidth: Tuple[float, float], bpad: int):
+    """Host float64 twiddle tables for the fused forward, padded to bpad
+    bins: t1 = a^{-i}, t2 = a^{i+1} over the tile-local index i in
+    [0, 128), per twiddle line j in {-1, 0, +1} (transform.py:83-91)."""
+    from flan_tpu.sqpv.transform import _cq_params
+    q, nbins, freqs, periods = _cq_params(sample_rate, bins_per_octave,
+                                          bandwidth)
+    pp = np.ones((bpad,), np.float64)
+    pp[:nbins] = periods
+    jv = np.array([-1.0, 0.0, 1.0])
+    theta = 2.0 * np.pi * (q + jv[:, None]) / pp[None, :]   # [3, Bp]
+    i_loc = np.arange(_F, dtype=np.float64)
+    t1 = np.exp(-1j * i_loc[None, :, None] * theta[:, None, :])
+    t2 = np.exp(1j * (i_loc + 1.0)[None, :, None] * theta[:, None, :])
+    fpad = np.zeros((bpad,), np.float64)
+    fpad[:nbins] = freqs
+    return (q, nbins, fpad, periods,
+            t1.real.astype(np.float32), t1.imag.astype(np.float32),
+            t2.real.astype(np.float32), t2.imag.astype(np.float32))
+
+
+def _fwd_kernel(u_re_ref, u_im_ref, t1re_ref, t1im_ref, t2re_ref,
+                t2im_ref, binf_ref, mag_ref, freq_ref, carry,
+                *, sample_rate: float, precision):
+    """carry rows: 0-2 F_re lines, 3-5 F_im lines, 6 prev phase."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+
+    u_re = u_re_ref[0]                                  # [F, Bp]
+    u_im = u_im_ref[0]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (_F, _F), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (_F, _F), 1)
+    tri = jnp.where(ri >= ci, jnp.float32(1.0), jnp.float32(0.0))
+
+    fw_re = None
+    fw_im = None
+    lasts = []
+    for l in range(3):
+        t1_re = t1re_ref[l]                             # [F, Bp]
+        t1_im = t1im_ref[l]
+        v_re = u_re * t1_re - u_im * t1_im
+        v_im = u_re * t1_im + u_im * t1_re
+        s_re = jnp.dot(tri, v_re, preferred_element_type=jnp.float32,
+                       precision=precision) + carry[l:l + 1, :]
+        s_im = jnp.dot(tri, v_im, preferred_element_type=jnp.float32,
+                       precision=precision) + carry[l + 3:l + 4, :]
+        t2_re = t2re_ref[l]
+        t2_im = t2im_ref[l]
+        F_re = s_re * t2_re - s_im * t2_im
+        F_im = s_re * t2_im + s_im * t2_re
+        # spectral hann over the twiddle lines (AudioSQPV.cpp:110-112)
+        wgt = jnp.float32(0.5 if l == 1 else -0.25)
+        fw_re = F_re * wgt if fw_re is None else fw_re + F_re * wgt
+        fw_im = F_im * wgt if fw_im is None else fw_im + F_im * wgt
+        lasts.append((F_re[_F - 1:_F, :], F_im[_F - 1:_F, :]))
+
+    energy = fw_re * fw_re + fw_im * fw_im
+    dead = energy == 0.0
+    mag = jnp.where(dead, 0.0, jnp.sqrt(jnp.where(dead, 1.0, energy)))
+    phase = _atan2(jnp.where(dead, 0.0, fw_im),
+                   jnp.where(dead, 1.0, fw_re))
+
+    prev = _roll_rows(phase, carry[6:7, :])
+    binf = binf_ref[0:1, :]                             # [1, Bp]
+    two_pi = jnp.float32(2.0 * np.pi)
+    expected = binf * jnp.float32(2.0 * np.pi / sample_rate)
+    d = phase - prev - expected
+    d = d - two_pi * jnp.round(d / two_pi)
+    freq = binf + d * jnp.float32(sample_rate / (2.0 * np.pi))
+
+    mag_ref[0] = mag
+    freq_ref[0] = freq
+    for l in range(3):
+        carry[l:l + 1, :] = lasts[l][0]
+        carry[l + 3:l + 4, :] = lasts[l][1]
+    carry[6:7, :] = phase[_F - 1:_F, :]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sample_rate", "bins_per_octave", "bandwidth", "precision"))
+def sqpv_forward_fused(x, *, sample_rate: float, bins_per_octave: float,
+                       bandwidth: Tuple[float, float],
+                       precision=jax.lax.Precision.HIGHEST):
+    """Audio [C, N] -> (mag, pitch, positive) each [C, N, B], fused."""
+    from flan_tpu.sqpv.transform import _stage_comb
+    c, n = x.shape
+    u_re, u_im, w0, nbins, bpad = _stage_comb(
+        x, sample_rate, bins_per_octave, bandwidth, tile=_F)
+    ntiles = u_re.shape[1] // _F
+    (q, _, freqs_pad, periods, t1_re, t1_im, t2_re, t2_im) = _cq_tables(
+        sample_rate, bins_per_octave, bandwidth, bpad)
+
+    kern = functools.partial(_fwd_kernel, sample_rate=float(sample_rate),
+                             precision=precision)
+    tab = lambda ch, t: (0, 0, 0)
+    tspec = pl.BlockSpec((3, _F, bpad), tab, memory_space=pltpu.VMEM)
+    mag, freq = pl.pallas_call(
+        kern,
+        grid=(c, ntiles),
+        in_specs=[
+            pl.BlockSpec((1, _F, bpad), lambda ch, t: (ch, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _F, bpad), lambda ch, t: (ch, t, 0),
+                         memory_space=pltpu.VMEM),
+            tspec, tspec, tspec, tspec,
+            pl.BlockSpec((1, bpad), lambda ch, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _F, bpad), lambda ch, t: (ch, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _F, bpad), lambda ch, t: (ch, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, ntiles * _F, bpad), jnp.float32),
+            jax.ShapeDtypeStruct((c, ntiles * _F, bpad), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, bpad), jnp.float32)],
+        interpret=_interpret(),
+    )(u_re, u_im, jnp.asarray(t1_re), jnp.asarray(t1_im),
+      jnp.asarray(t2_re), jnp.asarray(t2_im),
+      jnp.asarray(freqs_pad.astype(np.float32))[None, :])
+
+    mag = mag[:, w0:w0 + n, :nbins]
+    freq = freq[:, w0:w0 + n, :nbins]
+    pitch = jnp.log2(jnp.maximum(jnp.abs(freq), 1e-12))
+    positive = freq >= 0
+    return mag, pitch, positive
+
+
+def _inv_kernel(mag_ref, freq_ref, twre_ref, twim_ref, out_ref, cyc,
+                *, sample_rate: float, precision):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        cyc[:] = jnp.zeros_like(cyc)
+
+    m = mag_ref[0]                                       # [F, Bp]
+    fr = freq_ref[0]
+    inc = fr * jnp.float32(1.0 / sample_rate)
+    inc = inc - jnp.floor(inc)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (_F, _F), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (_F, _F), 1)
+    tri = jnp.where(ri >= ci, jnp.float32(1.0), jnp.float32(0.0))
+    run = jnp.dot(tri, inc, preferred_element_type=jnp.float32,
+                  precision=precision) + cyc[0:1, :]
+    cycles = run - jnp.floor(run)
+    ang = cycles * jnp.float32(2.0 * np.pi)
+    # Re( polar(m, ang) * twiddle_k ), summed over bins
+    real = m * (jnp.cos(ang) * twre_ref[0:1, :]
+                - jnp.sin(ang) * twim_ref[0:1, :])
+    out_ref[0] = jnp.sum(real, axis=1, keepdims=True)
+    cyc[:] = cycles[_F - 1:_F, :]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sample_rate", "bins_per_octave", "bandwidth", "precision"))
+def sqpv_inverse_fused(mag, pitch, positive, *, sample_rate: float,
+                       bins_per_octave: float,
+                       bandwidth: Tuple[float, float],
+                       precision=jax.lax.Precision.HIGHEST):
+    """(mag, pitch, positive) [C, F, B] -> audio [C, F], fused form of
+    transform.py _sqpv_inverse_scan (AudioSQPV.cpp:128-165)."""
+    from flan_tpu.sqpv.transform import _cq_params
+    c, f, b = mag.shape
+    q, nbins, freqs, periods = _cq_params(sample_rate, bins_per_octave,
+                                          bandwidth)
+    assert b == nbins, (b, nbins)
+    bpad = -(-b // _F) * _F
+    tw = np.exp(1j * 2.0 * np.pi * q / periods.astype(np.float64))
+    tw_re = np.zeros((bpad,), np.float32)
+    tw_im = np.zeros((bpad,), np.float32)
+    tw_re[:b] = tw.real
+    tw_im[:b] = tw.imag
+
+    ntiles = -(-f // _F)
+    fpad = ntiles * _F
+    sign = jnp.where(positive, 1.0, -1.0).astype(jnp.float32)
+    freq = sign * jnp.exp2(pitch)
+    pads = [(0, 0), (0, fpad - f), (0, bpad - b)]
+    mag = jnp.pad(mag, pads)
+    freq = jnp.pad(freq, pads)
+
+    kern = functools.partial(_inv_kernel, sample_rate=float(sample_rate),
+                             precision=precision)
+    out = pl.pallas_call(
+        kern,
+        grid=(c, ntiles),
+        in_specs=[
+            pl.BlockSpec((1, _F, bpad), lambda ch, t: (ch, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _F, bpad), lambda ch, t: (ch, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bpad), lambda ch, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bpad), lambda ch, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _F, 1), lambda ch, t: (ch, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, fpad, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, bpad), jnp.float32)],
+        interpret=_interpret(),
+    )(mag, freq, jnp.asarray(tw_re)[None, :], jnp.asarray(tw_im)[None, :])
+    return out[:, :f, 0]

@@ -54,6 +54,74 @@ def _cq_params(sample_rate: float, bins_per_octave: float,
     return q, nbins, freqs, periods
 
 
+def _stage_comb(x, sample_rate: float, bins_per_octave: float,
+                bandwidth: Tuple[float, float], tile: int,
+                bpad: int = 0):
+    """Stage the comb operand u[c, t, b] = (fiddle*x[t+P_b] - x[t-M_b])/N_b
+    for the whole padded timeline as B static shifted slices of the
+    zero-padded signal (plain memcpys, lane-major over bins; per-chunk
+    gathers of any index form measured 5x realtime — see module
+    docstring). The reference's toward-zero trunc quirk
+    (AudioSQPV.cpp:100-103) — one x[0] read per odd-period bin/side — is
+    folded in as a host-indexed scatter (mode='drop' replicates the
+    scan-window bound: positions beyond the padded timeline never fire).
+
+    Returns (u_re, u_im, w0, nbins, bpad) with the time axis padded to a
+    multiple of `tile` and the bin axis to `bpad` (>= nbins; default
+    nbins, i.e. no padding). Traced — call inside jit.
+    """
+    c, n = x.shape
+    q, nbins, freqs, periods = _cq_params(sample_rate, bins_per_octave,
+                                          bandwidth)
+    bpad = max(bpad, nbins)
+    # warmup: the reference starts each bin at floor(-N_k/2 - 1)
+    # (AudioSQPV.cpp:98); u is exactly zero before the window slides in,
+    # so one global start at the earliest bin is identical.
+    w0 = int(periods.max() // 2 + 2)
+    total = w0 + n
+    tpad = -(-total // tile) * tile
+
+    fiddle = np.exp(-1j * 2.0 * np.pi * q)  # AudioSQPV.cpp:82
+    fr, fi = float(fiddle.real), float(fiddle.imag)
+    off_p_np = (periods // 2).astype(np.int64)
+    off_m_np = ((periods + 1) // 2).astype(np.int64)
+    pad_l = w0 + int(off_m_np.max())
+    pad_r = max(0, tpad - w0 + int(off_p_np.max()) - n + 1)
+    xq = jnp.pad(x, [(0, 0), (pad_l, pad_r)])
+
+    base = pad_l - w0  # xq index of global t = 0 minus w0 shift
+    urs, uis = [], []
+    for b in range(nbins):
+        s_new = base + int(off_p_np[b])
+        s_old = base - int(off_m_np[b])
+        new_b = jax.lax.slice(xq, (0, s_new), (c, s_new + tpad))
+        old_b = jax.lax.slice(xq, (0, s_old), (c, s_old + tpad))
+        scale = float(1.0 / periods[b])
+        urs.append((fr * new_b - old_b) * scale)
+        uis.append((fi * new_b) * scale)
+    u_re = jnp.stack(urs, axis=-1)                        # [C, tpad, B]
+    u_im = jnp.stack(uis, axis=-1)
+
+    # trunc quirk: the lone t = -M_b (plus side) / t = P_b (minus side)
+    # sample per odd-period bin truncating -0.5 -> index 0 reads x[0]
+    odd_b = np.nonzero(periods % 2 == 1)[0]
+    if odd_b.size:
+        inv_n = 1.0 / periods[odd_b].astype(np.float64)
+        t_idx = np.concatenate([w0 - off_m_np[odd_b], w0 + off_p_np[odd_b]])
+        b_idx = np.concatenate([odd_b, odd_b])
+        co_re = np.concatenate([fr * inv_n, -inv_n]).astype(np.float32)
+        co_im = np.concatenate([fi * inv_n, 0.0 * inv_n]).astype(np.float32)
+        x0 = x[:, 0][:, None]
+        u_re = u_re.at[:, t_idx, b_idx].add(x0 * co_re[None, :],
+                                            mode="drop")
+        u_im = u_im.at[:, t_idx, b_idx].add(x0 * co_im[None, :],
+                                            mode="drop")
+    if bpad > nbins:
+        u_re = jnp.pad(u_re, [(0, 0), (0, 0), (0, bpad - nbins)])
+        u_im = jnp.pad(u_im, [(0, 0), (0, 0), (0, bpad - nbins)])
+    return u_re, u_im, w0, nbins, bpad
+
+
 @functools.partial(jax.jit, static_argnames=(
     "sample_rate", "bins_per_octave", "bandwidth", "chunk",
     "cumsum_precision"))
@@ -66,14 +134,10 @@ def _sqpv_forward_scan(x, *, sample_rate: float, bins_per_octave: float,
     L = chunk
     q, nbins, freqs, periods = _cq_params(sample_rate, bins_per_octave,
                                           bandwidth)
-
-    # warmup: the reference starts each bin at floor(-N_k/2 - 1)
-    # (AudioSQPV.cpp:98); u is exactly zero before the window slides in, so
-    # one global start at the earliest bin is identical.
-    w0 = int(periods.max() // 2 + 2)
-    total = w0 + n
-    nchunks = -(-total // L)
-    tpad = nchunks * L
+    u_re_full, u_im_full, w0, nbins, _ = _stage_comb(
+        x, sample_rate, bins_per_octave, bandwidth, tile=L)
+    tpad = u_re_full.shape[1]
+    nchunks = tpad // L
 
     # host tables (float64 -> float32): local-index twiddle powers.
     # LAYOUT: the three spectral-hann twiddle lines live on a LEADING
@@ -90,67 +154,17 @@ def _sqpv_forward_scan(x, *, sample_rate: float, bins_per_octave: float,
     t2_re = jnp.asarray(t2.real, jnp.float32)
     t2_im = jnp.asarray(t2.imag, jnp.float32)
 
-    fiddle = np.exp(-1j * 2.0 * np.pi * q)  # AudioSQPV.cpp:82
     bin_freq = jnp.asarray(freqs, jnp.float32)
     expected = bin_freq / sample_rate * (2.0 * jnp.pi)
-
-    # The half-period offsets trunc(t +- N_k/2) are *static per bin*, so
-    # the comb operand u[b, t] = (fiddle*x[t+P_b] - x[t-M_b])/N_b stages
-    # ONCE for the whole (padded) timeline as B static slices of the
-    # zero-padded signal - plain shifted memcpys, lane-major over bins.
-    # Both gather forms measured ~5x realtime (data-dependent AND static
-    # per-chunk index matrices: gather cost scales with the operand on
-    # this backend, CLAUDE.md); the staged form costs O(n*B) HBM, the
-    # same order as the transform's own output. Out-of-range reads
-    # return 0 via the padding (replacing the validity masks); the C++
-    # toward-zero trunc quirk (AudioSQPV.cpp:100-103) - the lone
-    # t = -M_b (plus side) / t = P_b (minus side) sample per odd-period
-    # bin truncating -0.5 -> index 0, i.e. reading x[0] - is added back
-    # by a tiny per-chunk mask in the scan body.
-    off_p_np = (periods // 2).astype(np.int64)
-    off_m_np = ((periods + 1) // 2).astype(np.int64)
-    pad_l = w0 + int(off_m_np.max())
-    pad_r = max(0, tpad - w0 + int(off_p_np.max()) - n + 1)
-    xq = jnp.pad(x, [(0, 0), (pad_l, pad_r)])
-    fr, fi = float(fiddle.real), float(fiddle.imag)
-
-    def staged_u():
-        base = pad_l - w0  # xq index of global t = 0 minus w0 shift
-        urs, uis = [], []
-        for b in range(nbins):
-            s_new = base + int(off_p_np[b])
-            s_old = base - int(off_m_np[b])
-            new_b = jax.lax.slice(xq, (0, s_new), (c, s_new + tpad))
-            old_b = jax.lax.slice(xq, (0, s_old), (c, s_old + tpad))
-            scale = float(1.0 / periods[b])
-            urs.append((fr * new_b - old_b) * scale)
-            uis.append((fi * new_b) * scale)
-        return (jnp.stack(urs, axis=-1), jnp.stack(uis, axis=-1))
-
-    u_re_full, u_im_full = staged_u()                    # [C, tpad, B]
-
-    off_p = jnp.asarray(off_p_np, jnp.float32)
-    off_m = jnp.asarray(off_m_np, jnp.float32)
-    odd = jnp.asarray((periods % 2 == 1).astype(np.float32))
-    inv_n_row = jnp.asarray(1.0 / periods.astype(np.float64), jnp.float32)
 
     def cumsum_l(v):  # [C, L, B*3] inclusive cumsum over axis 1 on the MXU
         return _cumsum_frames_tri(v, precision=cumsum_precision)
 
     def body(carry, t0):
         f_re, f_im, prev_phase = carry  # [3, C, B], [3, C, B], [C, B]
-        tvals = (t0.astype(jnp.float32)
-                 + jnp.arange(L, dtype=jnp.float32)) - float(w0)
         u_re = jax.lax.dynamic_slice(u_re_full, (0, t0, 0),
                                      (c, L, nbins))      # [C, L, B]
         u_im = jax.lax.dynamic_slice(u_im_full, (0, t0, 0), (c, L, nbins))
-        # toward-zero trunc quirk: one x[0] read per odd-period bin/side
-        q_new = (tvals[:, None] == -off_m[None, :]) * odd[None, :]
-        q_old = (tvals[:, None] == off_p[None, :]) * odd[None, :]
-        quirk = (fr * q_new - q_old) * inv_n_row[None, :]  # [L, B]
-        u_re = u_re + x[:, 0][:, None, None] * quirk[None]
-        u_im = u_im + x[:, 0][:, None, None] * (fi * q_new
-                                                * inv_n_row[None, :])[None]
 
         # v = a^{-i} * u over the three twiddle lines (leading axis)
         v_re = u_re[None] * t1_re[:, None] - u_im[None] * t1_im[:, None]
@@ -197,11 +211,28 @@ def _sqpv_forward_scan(x, *, sample_rate: float, bins_per_octave: float,
     return mag, pitch, positive
 
 
+def _use_fused() -> bool:
+    """Route through the fused Pallas kernels (ops/sqpv_pallas.py) off
+    CPU; the scan form stays the CPU / differentiable path. Bins are
+    padded to 128 inside the fused path, so any geometry qualifies."""
+    return jax.default_backend() not in ("cpu",)
+
+
 def sqpv_forward(x: jnp.ndarray, sample_rate: float,
                  bins_per_octave: float,
                  bandwidth: Tuple[float, float], chunk: int = _CHUNK,
-                 cumsum_precision=jax.lax.Precision.HIGHEST):
+                 cumsum_precision=jax.lax.Precision.HIGHEST,
+                 use_pallas: bool = None):
     """Audio [C, N] -> (mag, pitch, positive) each [C, N, B]."""
+    if use_pallas is None:
+        use_pallas = _use_fused()
+    if use_pallas:
+        from flan_tpu.ops.sqpv_pallas import sqpv_forward_fused
+        return sqpv_forward_fused(
+            x, sample_rate=float(sample_rate),
+            bins_per_octave=float(bins_per_octave),
+            bandwidth=(float(bandwidth[0]), float(bandwidth[1])),
+            precision=cumsum_precision)
     return _sqpv_forward_scan(
         x, sample_rate=float(sample_rate),
         bins_per_octave=float(bins_per_octave),
@@ -256,6 +287,12 @@ def sqpv_inverse(mag, pitch, positive, sample_rate: float,
     """(mag, pitch, positive) [C, F, B] -> audio [C, F]
     (reference AudioSQPV.cpp:128-165): per-bin phase accumulation of the
     pitch-decoded frequencies, then the twiddle-rotated real-part sum."""
+    if _use_fused():
+        from flan_tpu.ops.sqpv_pallas import sqpv_inverse_fused
+        return sqpv_inverse_fused(
+            mag, pitch, positive, sample_rate=float(sample_rate),
+            bins_per_octave=float(bins_per_octave),
+            bandwidth=(float(bandwidth[0]), float(bandwidth[1])))
     return _sqpv_inverse_scan(
         mag, pitch, positive, sample_rate=float(sample_rate),
         bins_per_octave=float(bins_per_octave),
