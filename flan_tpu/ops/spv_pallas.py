@@ -50,35 +50,13 @@ _F = 128   # frames per tile: one MXU-tile of prefix accumulation
 _SUP = 8   # frame-tiles per x super-tile block
 _RING = 16  # ring rows: supports comb delays up to 16 tiles (nbins 1024)
 
-# atan(z) ~= z * P(z^2), z in [0, 1]; Chebyshev-fit, max err 7.5e-8
-_ATAN_COEF = (0.9999999, -0.3333196, 0.19969235, -0.14016585,
-              0.09906097, -0.0593671, 0.02416619, -0.004668773)
+# shared with the XLA paths (ops/fastmath.py): the same polynomial that
+# Mosaic needs (arctan2 does not lower) also beats XLA's TPU arctan2
+from flan_tpu.ops.fastmath import atan2 as _atan2  # noqa: E402
 
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
-
-
-def _atan_poly(z):
-    z2 = z * z
-    p = jnp.float32(_ATAN_COEF[-1])
-    for c in _ATAN_COEF[-2::-1]:
-        p = p * z2 + jnp.float32(c)
-    return z * p
-
-
-def _atan2(y, x):
-    """Four-quadrant atan2 from the [0,1] polynomial; matches
-    jnp.arctan2 to ~1.5e-7 for finite inputs, (0,0) excluded (callers
-    gate zero-energy points the same way the scan path does)."""
-    ay, ax = jnp.abs(y), jnp.abs(x)
-    hi = jnp.maximum(ax, ay)
-    lo = jnp.minimum(ax, ay)
-    z = lo / jnp.maximum(hi, jnp.float32(1e-37))
-    at = _atan_poly(z)
-    at = jnp.where(ay > ax, jnp.float32(np.pi / 2) - at, at)
-    at = jnp.where(x < 0, jnp.float32(np.pi) - at, at)
-    return jnp.where(y < 0, -at, at)
 
 
 def _roll_rows(x, carry_row):

@@ -99,13 +99,17 @@ def rfft_mag_phase(x: jnp.ndarray, n: int):
         re, im = jnp.real(spec), jnp.imag(spec)
     # forward-exact, gradient-safe polar extraction: sqrt/atan2 have NaN
     # grads at (0, 0) (all-zero frames); dead points route through
-    # dummies (atan2(0, 1) = 0 = IEEE atan2(0, 0), so values are equal)
+    # dummies (atan2(0, 1) = 0 = IEEE atan2(0, 0), so values are equal).
+    # atan2 is the polynomial form (ops/fastmath.py): XLA's TPU arctan2
+    # lowering measured ~25% of the whole stretch pipeline; the ~1.5e-7
+    # rad polynomial error is ~9e-6 Hz at the default analysis rate.
+    from flan_tpu.ops.fastmath import atan2 as _fast_atan2
     energy = re * re + im * im
     dead = energy == 0.0
     mag = jnp.where(dead, 0.0,
                     jnp.sqrt(jnp.where(dead, 1.0, energy))).astype(
         jnp.float32)
-    phase = jnp.arctan2(jnp.where(dead, 0.0, im),
+    phase = _fast_atan2(jnp.where(dead, 0.0, im),
                         jnp.where(dead, 1.0, re)).astype(jnp.float32)
     return mag, phase
 

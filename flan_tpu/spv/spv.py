@@ -237,7 +237,8 @@ def _spv_forward_scan(x, *, nbins: int, sample_rate: float,
         dead = energy == 0.0
         mag = jnp.where(dead, 0.0,
                         jnp.sqrt(jnp.where(dead, 1.0, energy)))
-        phase = jnp.arctan2(jnp.where(dead, 0.0, conv_im),
+        from flan_tpu.ops.fastmath import atan2 as _fast_atan2
+        phase = _fast_atan2(jnp.where(dead, 0.0, conv_im),
                             jnp.where(dead, 1.0, conv_re))
         prev = jnp.concatenate([prev_phase[:, None, :], phase[:, :-1]],
                                axis=1)

@@ -182,8 +182,9 @@ def _sqpv_forward_scan(x, *, sample_rate: float, bins_per_octave: float,
         fw_re = 0.5 * F_re[1] - 0.25 * (F_re[0] + F_re[2])
         fw_im = 0.5 * F_im[1] - 0.25 * (F_im[0] + F_im[2])
 
+        from flan_tpu.ops.fastmath import atan2 as _fast_atan2
         mag = jnp.sqrt(fw_re * fw_re + fw_im * fw_im)
-        phase = jnp.arctan2(fw_im, fw_re)
+        phase = _fast_atan2(fw_im, fw_re)
         prev = jnp.concatenate([prev_phase[:, None, :], phase[:, :-1]],
                                axis=1)
         # analysis_rate == sample_rate, so the reference skips wrapping
