@@ -600,19 +600,19 @@ def _granulate_batched(self, times: np.ndarray, sels: np.ndarray,
     return Audio(data=data, sample_rate=sr)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "out_n", "envelope"))
+@functools.partial(jax.jit, static_argnames=("L", "out_n", "envelope",
+                                             "block_gather"))
 def _granulate_render(x, s0, lens, sf, ef, q, r_off, *, L: int, out_n: int,
-                      envelope):
+                      envelope, block_gather: bool = True):
     """One compiled program: grain gather + fades/window + block mix."""
     n = x.shape[-1]
     lane = jnp.arange(L, dtype=jnp.int32)[None, :]
-    idx = jnp.minimum(s0[:, None] + lane, n - 1)             # [G, L]
     mask = (lane < lens[:, None]).astype(jnp.float32)
     lane_f = lane.astype(jnp.float32)
     lens_f = lens[:, None].astype(jnp.float32)
     sf_f = jnp.maximum(sf[:, None], 1).astype(jnp.float32)
     ef_f = jnp.maximum(ef[:, None], 1).astype(jnp.float32)
-    env = jnp.ones(idx.shape, jnp.float32)
+    env = jnp.ones((s0.shape[0], L), jnp.float32)
     env = jnp.where(lane < sf[:, None], jnp.sqrt(lane_f / sf_f), env)
     env = jnp.where((lane >= (lens - ef)[:, None]) & (lane < lens[:, None]),
                     jnp.minimum(env, jnp.sqrt(jnp.maximum(
@@ -623,9 +623,37 @@ def _granulate_render(x, s0, lens, sf, ef, q, r_off, *, L: int, out_n: int,
             envelope(lane_f / jnp.maximum(lens_f, 1.0)), jnp.float32)
     env = env * mask
 
-    grains = jnp.take(x, idx.reshape(-1), axis=1).reshape(
-        x.shape[0], idx.shape[0], L)                          # [C, G, L]
-    grains = grains.transpose(1, 0, 2) * env[:, None, :]
+    # Two-level extraction instead of one [G*L] per-element gather from
+    # the full signal (measured: the elementwise dynamic gather was the
+    # config's dominant cost; avoid data-dependent takes from large HBM
+    # arrays, CLAUDE.md): gather whole 128-lane BLOCK rows (row reads
+    # vectorize on the lane axis), then shift by the sub-block remainder
+    # with a small in-VMEM take_along_axis over [G, C, L + 256] rows.
+    # All masked lanes read real signal (s0 + lane < e0 <= n - 1), so
+    # the zero block padding never leaks into the mix.
+    if block_gather:
+        block = 128
+        G = s0.shape[0]
+        qs = s0 // block
+        rs = s0 % block
+        nsrc = L // block + 2
+        nb = (n - 1) // block + nsrc + 1
+        xb = jnp.pad(x, [(0, 0), (0, nb * block - n)]).reshape(
+            x.shape[0], nb, block)
+        bids = qs[:, None] + jnp.arange(nsrc, dtype=jnp.int32)[None, :]
+        src = jnp.take(xb, bids.reshape(-1), axis=1).reshape(
+            x.shape[0], G, nsrc * block).transpose(1, 0, 2)   # [G, C, S]
+        lidx = (rs[:, None] + lane)[:, None, :]               # [G, 1, L]
+        grains = jnp.take_along_axis(
+            src, jnp.broadcast_to(lidx, (G, src.shape[1], L)), axis=-1)
+        grains = grains * env[:, None, :]
+    else:
+        # the round-3 baseline: one [G*L] per-element gather (kept for
+        # A/B; measured slower on the v5e)
+        idx = jnp.minimum(s0[:, None] + lane, n - 1)          # [G, L]
+        grains = jnp.take(x, idx.reshape(-1), axis=1).reshape(
+            x.shape[0], idx.shape[0], L)
+        grains = grains.transpose(1, 0, 2) * env[:, None, :]
 
     g, g_c = grains.shape[0], grains.shape[1]
     aligned, nblk_g = _align_grains_to_blocks(grains, r_off, L, 128)

@@ -38,14 +38,23 @@ from flan_tpu.ops.windows import hann_window
     jax.jit,
     static_argnames=("chunk_op", "n_in", "window_size", "hop", "dft_size",
                      "sample_rate", "out_frames", "max_hops_per_chunk",
-                     "chunk_out"))
-def _streamed_scan(xs, time_map, *, chunk_op, n_in, window_size, hop,
-                   dft_size, sample_rate, out_frames, max_hops_per_chunk,
-                   chunk_out):
-    """xs: [n_in, C, N] stacked inputs (equal shape). time_map: [nh] or
-    None-like identity handled by the caller's precompute."""
+                     "chunk_out", "li_row", "mix_row"))
+def _streamed_scan(xs, i0, li_s, mix_s, valid_s, *, chunk_op, n_in,
+                   window_size, hop, dft_size, sample_rate, out_frames,
+                   max_hops_per_chunk, chunk_out, li_row=None,
+                   mix_row=None):
+    """xs: [n_in, C, N] stacked inputs (equal shape). The remap plan
+    (i0 per chunk; li/mix/valid per output frame) is computed host-side
+    in numpy by streamed_pv_process — jnp.searchsorted is pathologically
+    slow on this backend (CLAUDE.md) and the plan depends only on the
+    host time_map. When every chunk shares one remap pattern (constant
+    factor or identity maps — including the headline), li_row/mix_row
+    carry it as STATIC tuples instead: the per-chunk remap gather then
+    has compile-time indices, which XLA lowers to static
+    slice/select networks instead of a dynamic gather (measured: the
+    dynamic remap gather was ~31% of the whole headline pipeline,
+    tools/profile_headline_stages.py no_remap)."""
     _, c, n = xs.shape
-    nh = time_map.shape[0]
     nbins = dft_size // 2 + 1
     analysis_rate = sample_rate / hop
 
@@ -62,25 +71,13 @@ def _streamed_scan(xs, time_map, *, chunk_op, n_in, window_size, hop,
         hann_window(window_size) * inv_scale)
 
     nchunks = _cdiv(out_frames, chunk_out)
-    H = max_hops_per_chunk
     fpad = nchunks * chunk_out
-
-    # ---- one-time gather plan over ALL output frames ----
-    xs_idx = jnp.arange(fpad, dtype=jnp.float32)
-    idx = jnp.clip(jnp.searchsorted(time_map, xs_idx, side="right"),
-                   1, nh - 1)
-    l = time_map[idx - 1]
-    rr = time_map[idx]
-    mix = jnp.clip((xs_idx - l) / jnp.where(rr == l, 1.0, rr - l), 0.0, 1.0)
-    valid = (xs_idx < out_frames) & (xs_idx >= time_map[0]) \
-        & (xs_idx < time_map[nh - 1])
-    i0 = idx.reshape(nchunks, chunk_out)[:, 0] - 1       # [nchunks]
-    li = (idx.reshape(nchunks, chunk_out)
-          - 1 - i0[:, None])                             # chunk-local pairs
-    li = jnp.clip(li, 0, H - 3).astype(jnp.int32)
-    mix_s = mix.reshape(nchunks, chunk_out)
-    valid_s = valid.reshape(nchunks, chunk_out)
+    H = max_hops_per_chunk
     out_f0 = jnp.arange(nchunks, dtype=jnp.int32) * chunk_out
+    uniform = li_row is not None
+    if uniform:
+        li_const = np.asarray(li_row, np.int32)          # [chunk_out]
+        mix_const = jnp.asarray(np.asarray(mix_row, np.float32))
 
     left_pad = wpad + hop
     span_len = (H + wblocks + 1) * hop
@@ -114,7 +111,11 @@ def _streamed_scan(xs, time_map, *, chunk_op, n_in, window_size, hop,
 
     def body(carry, inputs):
         cycle0, tail = carry
-        s0, i0_c, li_c, mix_c, valid_c, f0 = inputs
+        if uniform:
+            s0, i0_c, valid_c, f0 = inputs
+            li_c, mix_c = li_const, mix_const
+        else:
+            s0, i0_c, li_c, mix_c, valid_c, f0 = inputs
 
         mag, freq = forward_chunk(xp, s0, i0_c)
 
@@ -154,8 +155,9 @@ def _streamed_scan(xs, time_map, *, chunk_op, n_in, window_size, hop,
 
     init = (jnp.zeros((c, nbins), jnp.float32),
             jnp.zeros((c, r, hop), jnp.float32))
-    (_, tail), outs = jax.lax.scan(
-        body, init, (span_start, i0, li, mix_s, valid_s, out_f0))
+    xs_scan = ((span_start, i0, valid_s, out_f0) if uniform
+               else (span_start, i0, li_s, mix_s, valid_s, out_f0))
+    (_, tail), outs = jax.lax.scan(body, init, xs_scan)
     body_audio = outs.transpose(1, 0, 2).reshape(c, fpad * hop)
     audio = jnp.concatenate([body_audio, tail.reshape(c, r * hop)], axis=-1)
     shift = window_size // 2
@@ -198,25 +200,81 @@ def streamed_pv_process(xs: Sequence[jnp.ndarray],
         chunk_out = min(chunk_out, max(out_frames, 1))
         tm = np.arange(nh + 1, dtype=np.float64)
         max_hops = chunk_out + 4
-        return _streamed_scan(
-            stacked, jnp.asarray(tm, jnp.float32), chunk_op=chunk_op,
-            n_in=len(xs), window_size=window_size, hop=hop,
-            dft_size=dft_size, sample_rate=float(sample_rate),
-            out_frames=out_frames, max_hops_per_chunk=max_hops,
-            chunk_out=chunk_out)
+    else:
+        tm = np.asarray(time_map, np.float64)
+        out_frames = int(math.ceil(float(np.max(tm))))
+        chunk_out = min(chunk_out, max(out_frames, 1))
+        steps = np.diff(np.concatenate([[0.0], tm]))
+        min_step = float(steps.min())
+        if min_step <= 0:
+            raise ValueError("time_map must be strictly increasing")
+        max_hops = int(math.ceil(chunk_out / min_step)) + 4
 
-    out_frames = int(math.ceil(float(np.max(time_map))))
-    chunk_out = min(chunk_out, max(out_frames, 1))
-    steps = np.diff(np.concatenate([[0.0], np.asarray(time_map)]))
-    min_step = float(steps.min())
-    if min_step <= 0:
-        raise ValueError("time_map must be strictly increasing")
-    max_hops = int(math.ceil(chunk_out / min_step)) + 4
+    # host-side remap plan (f32 arithmetic, bit-matching the previous
+    # in-jit form; device searchsorted is pathological on this backend)
+    nchunks = _cdiv(out_frames, chunk_out)
+    fpad = nchunks * chunk_out
+    tm32 = tm.astype(np.float32)
+    nt = tm32.shape[0]
+    xs_idx = np.arange(fpad, dtype=np.float32)
+    idx = np.clip(np.searchsorted(tm32, xs_idx, side="right"),
+                  1, nt - 1).astype(np.int64)
+    l = tm32[idx - 1]
+    rr = tm32[idx]
+    mix = np.clip((xs_idx - l) / np.where(rr == l,
+                                          np.float32(1.0), rr - l),
+                  np.float32(0.0), np.float32(1.0)).astype(np.float32)
+    valid = ((xs_idx < out_frames) & (xs_idx >= tm32[0])
+             & (xs_idx < tm32[nt - 1]))
+    i0 = (idx.reshape(nchunks, chunk_out)[:, 0] - 1).astype(np.int32)
+    li = np.clip(idx.reshape(nchunks, chunk_out) - 1
+                 - i0[:, None].astype(np.int64),
+                 0, max_hops - 3).astype(np.int32)
+    mix_s = mix.reshape(nchunks, chunk_out)
+    valid_s = valid.reshape(nchunks, chunk_out)
+
+    # constant-rate maps (the headline stretch, identity repitch/morph)
+    # repeat ONE remap pattern every chunk on their valid frames; pass it
+    # as a static row so the per-chunk gather has compile-time indices.
+    # Edge chunks (before tm[0] / past tm[-1]) have locally-shifted i0
+    # from the idx clip, so the uniform stride is extended from a fully
+    # valid interior chunk and li recomputed against it — selected hops
+    # i0 + li are unchanged where valid, and invalid frames are masked
+    # after the gather exactly as before.
+    full = np.nonzero(valid_s.all(axis=1))[0]
+    li_row = mix_row = None
+    if full.size:
+        ref = int(full[0])
+        stride = (int(i0[ref + 1]) - int(i0[ref])
+                  if ref + 1 < nchunks else 0)
+        i0_u = (int(i0[ref])
+                + (np.arange(nchunks, dtype=np.int64) - ref) * stride)
+        li_u = np.clip(idx.reshape(nchunks, chunk_out) - 1
+                       - i0_u[:, None], 0, max_hops - 3).astype(np.int32)
+        wpad_ = _cdiv(window_size, hop) * hop
+        span_ok = ((int(i0_u.min()) - 1) * hop - window_size // 2
+                   + wpad_ + hop) >= 0
+        same = span_ok and all(
+            np.array_equal(li_u[k][valid_s[k]], li_u[ref][valid_s[k]])
+            and np.array_equal(mix_s[k][valid_s[k]],
+                               mix_s[ref][valid_s[k]])
+            for k in range(nchunks))
+        if same:
+            li_row = tuple(int(v) for v in li_u[ref])
+            mix_row = tuple(float(v) for v in mix_s[ref])
+            i0 = i0_u.astype(np.int32)
+    if li_row is not None:
+        li_arg = mix_arg = None
+    else:
+        li_arg = jnp.asarray(li)
+        mix_arg = jnp.asarray(mix_s)
+
     return _streamed_scan(
-        stacked, jnp.asarray(time_map, jnp.float32), chunk_op=chunk_op,
-        n_in=len(xs), window_size=window_size, hop=hop, dft_size=dft_size,
-        sample_rate=float(sample_rate), out_frames=out_frames,
-        max_hops_per_chunk=max_hops, chunk_out=chunk_out)
+        stacked, jnp.asarray(i0), li_arg, mix_arg, jnp.asarray(valid_s),
+        chunk_op=chunk_op, n_in=len(xs), window_size=window_size, hop=hop,
+        dft_size=dft_size, sample_rate=float(sample_rate),
+        out_frames=out_frames, max_hops_per_chunk=max_hops,
+        chunk_out=chunk_out, li_row=li_row, mix_row=mix_row)
 
 
 def _memo_chunk_op(factory):
