@@ -603,7 +603,7 @@ def _granulate_batched(self, times: np.ndarray, sels: np.ndarray,
 @functools.partial(jax.jit, static_argnames=("L", "out_n", "envelope",
                                              "block_gather"))
 def _granulate_render(x, s0, lens, sf, ef, q, r_off, *, L: int, out_n: int,
-                      envelope, block_gather: bool = True):
+                      envelope, block_gather: bool = False):
     """One compiled program: grain gather + fades/window + block mix."""
     n = x.shape[-1]
     lane = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -623,14 +623,14 @@ def _granulate_render(x, s0, lens, sf, ef, q, r_off, *, L: int, out_n: int,
             envelope(lane_f / jnp.maximum(lens_f, 1.0)), jnp.float32)
     env = env * mask
 
-    # Two-level extraction instead of one [G*L] per-element gather from
-    # the full signal (measured: the elementwise dynamic gather was the
-    # config's dominant cost; avoid data-dependent takes from large HBM
-    # arrays, CLAUDE.md): gather whole 128-lane BLOCK rows (row reads
-    # vectorize on the lane axis), then shift by the sub-block remainder
-    # with a small in-VMEM take_along_axis over [G, C, L + 256] rows.
-    # All masked lanes read real signal (s0 + lane < e0 <= n - 1), so
-    # the zero block padding never leaks into the mix.
+    # A/B'd on the v5e (tools/ab_granulate.py): the two-level form —
+    # 128-lane block-row gather + small in-VMEM lane shift — measured
+    # 136.9x vs 175.8x for the plain per-element gather, so the
+    # per-element form stays the default; the block form is kept for
+    # re-evaluation on other backends. (Counterexample to the "gathers
+    # scale with operand" rule: at this grain density the elementwise
+    # gather is already near HBM speed, and the block form pays an
+    # extra materialized [G, C, L + 256] intermediate.)
     if block_gather:
         block = 128
         G = s0.shape[0]

@@ -68,9 +68,12 @@ def _cq_tables(sample_rate: float, bins_per_octave: float,
 
 
 def _fwd_kernel(u_re_ref, u_im_ref, t1re_ref, t1im_ref, t2re_ref,
-                t2im_ref, binf_ref, mag_ref, freq_ref, carry,
-                *, sample_rate: float, precision):
-    """carry rows: 0-2 F_re lines, 3-5 F_im lines, 6 prev phase."""
+                t2im_ref, binf_ref, qk_ref, x0_ref, mag_ref, freq_ref,
+                carry, *, sample_rate: float, precision):
+    """carry rows: 0-2 F_re lines, 3-5 F_im lines, 6 prev phase.
+    qk rows: 0 i_new, 1 i_old, 2 co_new_re, 3 co_new_im, 4 co_old_re
+    (the toward-zero trunc quirk, applied here as per-tile mask math so
+    the staging stays a bare slice->stack chain — see _stage_comb)."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -79,6 +82,14 @@ def _fwd_kernel(u_re_ref, u_im_ref, t1re_ref, t1im_ref, t2re_ref,
 
     u_re = u_re_ref[0]                                  # [F, Bp]
     u_im = u_im_ref[0]
+    bp = u_re.shape[1]
+    gi = (t * _F + jax.lax.broadcasted_iota(jnp.int32, (_F, bp), 0)
+          ).astype(jnp.float32)
+    x0 = x0_ref[0, 0]
+    m_new = (gi == qk_ref[0:1, :]).astype(jnp.float32)
+    m_old = (gi == qk_ref[1:2, :]).astype(jnp.float32)
+    u_re = u_re + x0 * (qk_ref[2:3, :] * m_new + qk_ref[4:5, :] * m_old)
+    u_im = u_im + x0 * (qk_ref[3:4, :] * m_new)
     ri = jax.lax.broadcasted_iota(jnp.int32, (_F, _F), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (_F, _F), 1)
     tri = jnp.where(ri >= ci, jnp.float32(1.0), jnp.float32(0.0))
@@ -128,18 +139,75 @@ def _fwd_kernel(u_re_ref, u_im_ref, t1re_ref, t1im_ref, t2re_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sample_rate", "bins_per_octave", "bandwidth", "precision"))
+    "sample_rate", "bins_per_octave", "bandwidth"))
+def _stage_fused(x, *, sample_rate: float, bins_per_octave: float,
+                 bandwidth: Tuple[float, float]):
+    """Stage the comb operand as [Bp, C, T] (time minor - natural concat
+    layouts). Runs as its OWN jit: inside one program with the kernel,
+    XLA's layout assignment for the pallas operand propagates a
+    bins-minor layout back through the concat and materializes every
+    slice as a 128x-padded temp (65 GB at the 10 s bench). At the jit
+    boundary the output takes the default row-major layout, and the
+    consumer program pays one fast [Bp, C, T] -> [C, T, Bp] relayout."""
+    from flan_tpu.sqpv.transform import _cq_params, _stage_comb
+    _, nb0, _, _ = _cq_params(sample_rate, bins_per_octave, bandwidth)
+    u_re, u_im, w0, nbins, bpad = _stage_comb(
+        x, sample_rate, bins_per_octave, bandwidth, tile=_F,
+        bpad=-(-nb0 // _F) * _F, quirk=False, stack_axis=0)
+    return u_re, u_im
+
+
 def sqpv_forward_fused(x, *, sample_rate: float, bins_per_octave: float,
                        bandwidth: Tuple[float, float],
                        precision=jax.lax.Precision.HIGHEST):
-    """Audio [C, N] -> (mag, pitch, positive) each [C, N, B], fused."""
-    from flan_tpu.sqpv.transform import _stage_comb
+    """Audio [C, N] -> (mag, pitch, positive) each [C, N, B], fused.
+    Two device programs (staging | transpose + Mosaic kernel) - the
+    split is deliberate, see _stage_fused."""
+    u_re_t, u_im_t = _stage_fused(
+        x, sample_rate=float(sample_rate),
+        bins_per_octave=float(bins_per_octave),
+        bandwidth=(float(bandwidth[0]), float(bandwidth[1])))
+    return _forward_fused_core(
+        x, u_re_t, u_im_t, sample_rate=float(sample_rate),
+        bins_per_octave=float(bins_per_octave),
+        bandwidth=(float(bandwidth[0]), float(bandwidth[1])),
+        precision=precision)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sample_rate", "bins_per_octave", "bandwidth", "precision"))
+def _forward_fused_core(x, u_re_t, u_im_t, *, sample_rate: float,
+                        bins_per_octave: float,
+                        bandwidth: Tuple[float, float],
+                        precision=jax.lax.Precision.HIGHEST):
+    from flan_tpu.sqpv.transform import _cq_params
     c, n = x.shape
-    u_re, u_im, w0, nbins, bpad = _stage_comb(
-        x, sample_rate, bins_per_octave, bandwidth, tile=_F)
+    q0, nbins, freqs0, periods0 = _cq_params(sample_rate, bins_per_octave,
+                                             bandwidth)
+    bpad = u_re_t.shape[0]
+    w0 = int(periods0.max() // 2 + 2)
+    u_re = u_re_t.transpose(1, 2, 0)                      # [C, T, Bp]
+    u_im = u_im_t.transpose(1, 2, 0)
     ntiles = u_re.shape[1] // _F
     (q, _, freqs_pad, periods, t1_re, t1_im, t2_re, t2_im) = _cq_tables(
         sample_rate, bins_per_octave, bandwidth, bpad)
+
+    # toward-zero trunc quirk table (see _fwd_kernel docstring): one
+    # x[0] read per odd-period bin/side, at staged-timeline positions
+    # w0 -+ the half-period offsets (reference AudioSQPV.cpp:100-103)
+    fiddle = np.exp(-1j * 2.0 * np.pi * q)
+    off_p = (periods // 2).astype(np.int64)
+    off_m = ((periods + 1) // 2).astype(np.int64)
+    odd = periods % 2 == 1
+    inv_n = 1.0 / periods.astype(np.float64)
+    qk = np.full((5, bpad), -1.0, np.float32)
+    qk[2:, :] = 0.0
+    qk[0, :nbins] = np.where(odd, (w0 - off_m).astype(np.float64), -1.0)
+    qk[1, :nbins] = np.where(odd, (w0 + off_p).astype(np.float64), -1.0)
+    qk[2, :nbins] = np.where(odd, fiddle.real * inv_n, 0.0)
+    qk[3, :nbins] = np.where(odd, fiddle.imag * inv_n, 0.0)
+    qk[4, :nbins] = np.where(odd, -inv_n, 0.0)
+    x0 = x[:, 0:1]                                        # [C, 1]
 
     kern = functools.partial(_fwd_kernel, sample_rate=float(sample_rate),
                              precision=precision)
@@ -156,6 +224,10 @@ def sqpv_forward_fused(x, *, sample_rate: float, bins_per_octave: float,
             tspec, tspec, tspec, tspec,
             pl.BlockSpec((1, bpad), lambda ch, t: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, bpad), lambda ch, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda ch, t: (ch, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, _F, bpad), lambda ch, t: (ch, t, 0),
@@ -171,7 +243,8 @@ def sqpv_forward_fused(x, *, sample_rate: float, bins_per_octave: float,
         interpret=_interpret(),
     )(u_re, u_im, jnp.asarray(t1_re), jnp.asarray(t1_im),
       jnp.asarray(t2_re), jnp.asarray(t2_im),
-      jnp.asarray(freqs_pad.astype(np.float32))[None, :])
+      jnp.asarray(freqs_pad.astype(np.float32))[None, :],
+      jnp.asarray(qk), x0)
 
     mag = mag[:, w0:w0 + n, :nbins]
     freq = freq[:, w0:w0 + n, :nbins]

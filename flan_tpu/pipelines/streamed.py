@@ -33,6 +33,10 @@ import numpy as np
 from flan_tpu.ops.stft import _cdiv, _wrap_radians, num_hops
 from flan_tpu.ops.windows import hann_window
 
+# A/B escape hatch (tools/ab_remap.py): True forces the dynamic remap
+# path even for constant-rate maps
+_FORCE_DYNAMIC_REMAP = False
+
 
 @functools.partial(
     jax.jit,
@@ -243,7 +247,7 @@ def streamed_pv_process(xs: Sequence[jnp.ndarray],
     # after the gather exactly as before.
     full = np.nonzero(valid_s.all(axis=1))[0]
     li_row = mix_row = None
-    if full.size:
+    if full.size and not _FORCE_DYNAMIC_REMAP:
         ref = int(full[0])
         stride = (int(i0[ref + 1]) - int(i0[ref])
                   if ref + 1 < nchunks else 0)

@@ -56,7 +56,7 @@ def _cq_params(sample_rate: float, bins_per_octave: float,
 
 def _stage_comb(x, sample_rate: float, bins_per_octave: float,
                 bandwidth: Tuple[float, float], tile: int,
-                bpad: int = 0):
+                bpad: int = 0, quirk: bool = True, stack_axis: int = -1):
     """Stage the comb operand u[c, t, b] = (fiddle*x[t+P_b] - x[t-M_b])/N_b
     for the whole padded timeline as B static shifted slices of the
     zero-padded signal (plain memcpys, lane-major over bins; per-chunk
@@ -90,6 +90,7 @@ def _stage_comb(x, sample_rate: float, bins_per_octave: float,
     xq = jnp.pad(x, [(0, 0), (pad_l, pad_r)])
 
     base = pad_l - w0  # xq index of global t = 0 minus w0 shift
+    x0 = x[:, 0]
     urs, uis = [], []
     for b in range(nbins):
         s_new = base + int(off_p_np[b])
@@ -97,28 +98,34 @@ def _stage_comb(x, sample_rate: float, bins_per_octave: float,
         new_b = jax.lax.slice(xq, (0, s_new), (c, s_new + tpad))
         old_b = jax.lax.slice(xq, (0, s_old), (c, s_old + tpad))
         scale = float(1.0 / periods[b])
-        urs.append((fr * new_b - old_b) * scale)
-        uis.append((fi * new_b) * scale)
-    u_re = jnp.stack(urs, axis=-1)                        # [C, tpad, B]
-    u_im = jnp.stack(uis, axis=-1)
-
-    # trunc quirk: the lone t = -M_b (plus side) / t = P_b (minus side)
-    # sample per odd-period bin truncating -0.5 -> index 0 reads x[0]
-    odd_b = np.nonzero(periods % 2 == 1)[0]
-    if odd_b.size:
-        inv_n = 1.0 / periods[odd_b].astype(np.float64)
-        t_idx = np.concatenate([w0 - off_m_np[odd_b], w0 + off_p_np[odd_b]])
-        b_idx = np.concatenate([odd_b, odd_b])
-        co_re = np.concatenate([fr * inv_n, -inv_n]).astype(np.float32)
-        co_im = np.concatenate([fi * inv_n, 0.0 * inv_n]).astype(np.float32)
-        x0 = x[:, 0][:, None]
-        u_re = u_re.at[:, t_idx, b_idx].add(x0 * co_re[None, :],
-                                            mode="drop")
-        u_im = u_im.at[:, t_idx, b_idx].add(x0 * co_im[None, :],
-                                            mode="drop")
-    if bpad > nbins:
-        u_re = jnp.pad(u_re, [(0, 0), (0, 0), (0, bpad - nbins)])
-        u_im = jnp.pad(u_im, [(0, 0), (0, 0), (0, bpad - nbins)])
+        u_re_b = (fr * new_b - old_b) * scale
+        u_im_b = (fi * new_b) * scale
+        # trunc quirk: the lone t = -M_b (plus side) / t = P_b (minus
+        # side) sample per odd-period bin truncating -0.5 -> index 0
+        # reads x[0]. quirk=False leaves it to the caller (the fused
+        # kernel applies it as per-tile mask math): ANY op between the
+        # slices and the stack — a scatter on the stacked array, or
+        # per-slice scatters feeding a transposed stack — broke XLA's
+        # fusion of the slices into the concat buffer and materialized
+        # every slice as a separate 128x-padded HLO temp (254 x 259 MB,
+        # OOM at the 10 s bench). The bare slice->stack chain below is
+        # the form the scan program compiles in-place.
+        if quirk and periods[b] % 2 == 1:
+            t_new = w0 - int(off_m_np[b])
+            t_old = w0 + int(off_p_np[b])
+            u_re_b = u_re_b.at[:, t_new].add(x0 * np.float32(fr * scale))
+            u_im_b = u_im_b.at[:, t_new].add(x0 * np.float32(fi * scale))
+            if t_old < tpad:
+                u_re_b = u_re_b.at[:, t_old].add(x0 * np.float32(-scale))
+        urs.append(u_re_b)
+        uis.append(u_im_b)
+    zpad = [jnp.zeros((c, tpad), jnp.float32)] * (bpad - nbins)
+    # stack_axis 0 gives [Bp, C, tpad] with the TIME axis minor: concat
+    # operands keep their natural layout (a trailing-bin stack feeding a
+    # pallas operand made XLA materialize every [C, tpad, 1] slice as a
+    # 128x-padded HLO temp - 254 x 259 MB, OOM; see ops/sqpv_pallas.py)
+    u_re = jnp.stack(urs + zpad, axis=stack_axis)
+    u_im = jnp.stack(uis + zpad, axis=stack_axis)
     return u_re, u_im, w0, nbins, bpad
 
 
