@@ -26,7 +26,7 @@ _bind(_temporal, [
     "fade", "fade_frames", "remove_edge_silence", "get_loud_chunks",
     "remove_silence", "split_at_times", "split_with_lengths",
     "split_with_equal_lengths", "rearrange", "random_chunks", "repitch",
-    "iterate", "delay",
+    "iterate", "delay", "stereo_delay",
 ])
 _bind(_information, [
     "get_local_wavelength", "get_local_wavelengths",
@@ -34,7 +34,7 @@ _bind(_information, [
     "get_local_frequencies", "get_amplitude_envelope",
     "get_frequency_envelope",
 ])
-_bind(_spatial, ["pan", "widen", "stereo_spatialize"])
+_bind(_spatial, ["pan", "widen", "stereo_spatialize", "filter_pinna"])
 _bind(_synthesis, ["texture", "texture_effect", "granulate", "psola"])
 Audio.synthesize_waveform = staticmethod(_synthesis.synthesize_waveform)
 Audio.synthesize_white_noise = staticmethod(
@@ -44,6 +44,7 @@ Audio.synthesize_spectrum = staticmethod(_synthesis.synthesize_spectrum)
 Audio.synthesize_impulse = staticmethod(_synthesis.synthesize_impulse)
 Audio.synthesize_grains = staticmethod(_synthesis.synthesize_grains)
 Audio.synthesize_trainlets = staticmethod(_synthesis.synthesize_trainlets)
+Audio.synthesize_pulsars = staticmethod(_synthesis.synthesize_pulsars)
 _bind(_volume, [
     "waveshape", "add_moisture", "compress", "apply_adsr_envelope",
     "apply_ar_envelope",

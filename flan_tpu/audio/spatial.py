@@ -156,3 +156,36 @@ def _np_sample(fn, count, period):
         return np.full(count, fn.constant_value, np.float64)
     grid = jnp.arange(count, dtype=jnp.float32) * period
     return np.asarray(fn(grid), np.float64).reshape(-1)
+
+
+def filter_pinna(self, height):
+    """Approximate pinna (outer-ear-flap) elevation filtering for a
+    source one meter away, activated from the reference's commented
+    implementation (AudioSpatial.cpp:69-84): the elevation angle
+    atan(height) drives three band shelves — the main 8 kHz shelf
+    sweeps -5..+5 dB across -90..+90 degrees, a thin 10 kHz shelf at
+    0.8x that gain and a broad 3.5 kHz shelf at 0.1x (damping values
+    from the reference's qr = 1/2 note)."""
+    from flan_tpu.audio import filters as _filters
+    from flan_tpu.audio.audio import Audio
+    if self.is_null():
+        return Audio.create_null()
+    h_fn = as_function(height)
+    if h_fn.is_constant:
+        g = float(-5.0 + math.atan(float(h_fn.constant_value))
+                  / (math.pi / 2) * 10.0)
+        main, thin, broad = g, 0.8 * g, 0.1 * g
+    else:
+        def main(t):
+            h = jnp.asarray(h_fn(t), jnp.float32)
+            return -5.0 + jnp.arctan(h) / (math.pi / 2) * 10.0
+
+        def thin(t):
+            return main(t) * 0.8
+
+        def broad(t):
+            return main(t) * 0.1
+
+    out = _filters.filter_2pole_bandshelf(self, 8000.0, 0.25, main)
+    out = _filters.filter_2pole_bandshelf(out, 10000.0, 0.03, thin)
+    return _filters.filter_2pole_bandshelf(out, 3500.0, 0.7, broad)

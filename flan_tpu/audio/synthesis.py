@@ -506,6 +506,48 @@ def texture_effect(self, effects_per_second, time_scatter, effect_length,
     return self._with(data=out)
 
 
+def synthesize_pulsars(length: float, pulse_frequency, waveform,
+                       waveform_frequency, pulsaret_envelope,
+                       sample_rate: float = 48000.0, oversample: int = 4):
+    """Pulsar synthesis (Roads): a train of pulsarets — one cycle of
+    `waveform` played at `waveform_frequency`, shaped by
+    `pulsaret_envelope` over the cycle — emitted at `pulse_frequency`.
+
+    Activated from the reference's commented declaration
+    (Audio.h:1139-1145; no implementation upstream). TPU-native design:
+    the pulse phase is one mod-1 scan of the sampled pulse rate; the
+    pulsaret-local phase is frac(pulse_phase) * wf / pf, the waveform
+    and envelope evaluate on it vectorized, and samples where the local
+    phase has passed one full cycle are masked to silence (the classic
+    pulsar duty-cycle mask; wf < pf leaves no gap, wf > pf overlaps are
+    truncated as in single-voice pulsar trains). Rendered `oversample`x
+    then polyphase-downsampled like synthesize_waveform."""
+    from flan_tpu.audio.audio import Audio
+    if length <= 0 or sample_rate <= 0 or oversample < 1:
+        return Audio.create_null()
+    out_frames = int(length * sample_rate)
+    in_rate = sample_rate * oversample
+    n_in = out_frames * oversample
+
+    pf = jnp.maximum(jnp.asarray(
+        _sample_fn(pulse_frequency, n_in, 1.0 / in_rate), jnp.float32),
+        1e-6)
+    wf = jnp.asarray(_sample_fn(waveform_frequency, n_in, 1.0 / in_rate),
+                     jnp.float32)
+    inc = jnp.mod(pf / in_rate, 1.0)
+    cycles = jax.lax.associative_scan(lambda a, b: jnp.mod(a + b, 1.0), inc)
+    phi = jnp.concatenate([jnp.zeros((1,)), cycles[:-1]])
+
+    local = phi * (wf / pf)            # pulsaret waveform cycles elapsed
+    live = local < 1.0
+    wave_fn = as_function(waveform)
+    env_fn = as_function(pulsaret_envelope)
+    x = jnp.asarray(wave_fn(local), jnp.float32) \
+        * jnp.asarray(env_fn(local), jnp.float32)
+    samples = jnp.where(live, x, 0.0)[None, :]
+    return Audio(data=samples, sample_rate=in_rate).resample(sample_rate)
+
+
 def synthesize_trainlets(length: float, grains_per_second, time_scatter,
                          position, trainlet_gain_envelope, impulse_freq,
                          trainlet_length, num_harmonics=2 ** 14, chroma=1.0,

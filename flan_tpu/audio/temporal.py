@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -344,6 +345,95 @@ def delay(self, added_length: float, delay_time, decay=0.5, mod=None,
 
     return texture(self, length, events_per_second, 0.0, delay_mod,
                    mod_feedback=True, seed=seed)
+
+
+def stereo_delay(self, length: float, l_time, r_time, decay):
+    """Cross-feedback stereo delay, activated from the reference's
+    commented implementation (AudioTemporal.cpp:363-408): two ring
+    buffers of size max(delay) feed each other through the decay, and
+    the output reads each buffer one full buffer-length late. Stereo
+    input only (null otherwise), `length` is the OUTPUT length.
+
+    The reference writes the left buffer before reading it for the
+    right write, so with constant delays (delay == buffer size) the
+    right channel cross-feeds the CURRENT left value: w_L[t] = x_L[t] +
+    g[t] w_R[t-D_R]; w_R[t] = x_R[t] + g[t] w_L[t]; out = (w_L[t-D_L],
+    w_R[t-D_R]). That collapses to two feedback combs solved here as
+    block-reshaped linear recurrences (no per-sample scan). Time-varying
+    delay times take a per-sample lax.scan that replicates the ring
+    ordering literally.
+    """
+    from flan_tpu.audio.audio import Audio
+    from flan_tpu.ops.scan import linear_recurrence
+    if self.is_null() or self.num_channels != 2:
+        return Audio.create_null()
+    sr = self.sample_rate
+    out_n = int(length * sr)
+    if out_n <= 0:
+        return Audio.create_null()
+    lt_fn = as_function(l_time)
+    rt_fn = as_function(r_time)
+    g_fn = as_function(decay)
+
+    def sample_np(fn):
+        if fn.is_constant:
+            return np.full(out_n, float(fn.constant_value), np.float64)
+        t = jnp.arange(out_n, dtype=jnp.float32) / sr
+        return np.broadcast_to(
+            np.asarray(fn(t), np.float64).reshape(-1), (out_n,))
+
+    lt_s = sample_np(lt_fn)
+    rt_s = sample_np(rt_fn)
+    lb = int(lt_s.max() * sr)     # Frame cast truncates (reference)
+    rb = int(rt_s.max() * sr)
+    if lb <= 0 or rb <= 0:
+        return Audio.create_null()
+
+    x = jnp.pad(self.data, [(0, 0), (0, max(0, out_n - self.num_frames))])
+    x = x[:, :out_n]
+    g = jnp.asarray(sample_np(g_fn), jnp.float32)
+
+    def shift(v, d):
+        return jnp.pad(v, [(d, 0)])[:out_n]
+
+    if lt_fn.is_constant and rt_fn.is_constant:
+        # w_R[t] = (x_R + g x_L)[t] + g[t]^2 w_R[t - rb]: reshape time
+        # into [ceil(n/rb), rb] and run the recurrence down the rows
+        u_r = x[1] + g * x[0]
+        m = -(-out_n // rb)
+        pad = m * rb - out_n
+        a = jnp.pad(g * g, [(0, pad)]).reshape(m, rb)
+        b = jnp.pad(u_r, [(0, pad)]).reshape(m, rb)
+        w_r = linear_recurrence(a, b, axis=0).reshape(-1)[:out_n]
+        w_l = x[0] + g * shift(w_r, rb)
+        out = jnp.stack([shift(w_l, lb), shift(w_r, rb)])
+        return Audio(data=out.astype(jnp.float32), sample_rate=sr)
+
+    # time-varying delays: literal ring-buffer scan (slow path)
+    dl = np.minimum(np.maximum((lt_s * sr).astype(np.int64), 0), lb)
+    dr = np.minimum(np.maximum((rt_s * sr).astype(np.int64), 0), rb)
+    dl_j = jnp.asarray(dl, jnp.int32)
+    dr_j = jnp.asarray(dr, jnp.int32)
+    ts = jnp.arange(out_n, dtype=jnp.int32)
+
+    def body(carry, inp):
+        l_buf, r_buf = carry
+        t, xl, xr, gt, dlt, drt = inp
+        l_lead = jnp.mod(t, lb)
+        r_lead = jnp.mod(t, rb)
+        l_follow = jnp.mod(t + lb - dlt, lb)
+        r_follow = jnp.mod(t + rb - drt, rb)
+        out_l = l_buf[l_lead]
+        out_r = r_buf[r_lead]
+        l_buf = l_buf.at[l_lead].set(xl + r_buf[r_follow] * gt)
+        r_buf = r_buf.at[r_lead].set(xr + l_buf[l_follow] * gt)
+        return (l_buf, r_buf), (out_l, out_r)
+
+    init = (jnp.zeros((lb,), jnp.float32), jnp.zeros((rb,), jnp.float32))
+    _, (out_l, out_r) = jax.lax.scan(
+        body, init, (ts, x[0], x[1], g, dl_j, dr_j))
+    return Audio(data=jnp.stack([out_l, out_r]).astype(jnp.float32),
+                 sample_rate=sr)
 
 
 def iterate(self, n: int, crossfade_time: float = 0.0, mod=None,

@@ -67,6 +67,11 @@ def _cq_tables(sample_rate: float, bins_per_octave: float,
             t2.real.astype(np.float32), t2.imag.astype(np.float32))
 
 
+_TPB = 4   # frame-tiles per Mosaic program: 4152 single-tile grid steps
+           # measured 84 ms (~20 us/step overhead-bound); batching tiles
+           # amortizes the per-step cost while the carry chains in VMEM
+
+
 def _fwd_kernel(u_re_ref, u_im_ref, t1re_ref, t1im_ref, t2re_ref,
                 t2im_ref, binf_ref, qk_ref, x0_ref, mag_ref, freq_ref,
                 carry, *, sample_rate: float, precision):
@@ -80,62 +85,68 @@ def _fwd_kernel(u_re_ref, u_im_ref, t1re_ref, t1im_ref, t2re_ref,
     def _():
         carry[:] = jnp.zeros_like(carry)
 
-    u_re = u_re_ref[0]                                  # [F, Bp]
-    u_im = u_im_ref[0]
-    bp = u_re.shape[1]
-    gi = (t * _F + jax.lax.broadcasted_iota(jnp.int32, (_F, bp), 0)
-          ).astype(jnp.float32)
+    bp = u_re_ref.shape[2]
     x0 = x0_ref[0, 0]
-    m_new = (gi == qk_ref[0:1, :]).astype(jnp.float32)
-    m_old = (gi == qk_ref[1:2, :]).astype(jnp.float32)
-    u_re = u_re + x0 * (qk_ref[2:3, :] * m_new + qk_ref[4:5, :] * m_old)
-    u_im = u_im + x0 * (qk_ref[3:4, :] * m_new)
     ri = jax.lax.broadcasted_iota(jnp.int32, (_F, _F), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (_F, _F), 1)
     tri = jnp.where(ri >= ci, jnp.float32(1.0), jnp.float32(0.0))
-
-    fw_re = None
-    fw_im = None
-    lasts = []
-    for l in range(3):
-        t1_re = t1re_ref[l]                             # [F, Bp]
-        t1_im = t1im_ref[l]
-        v_re = u_re * t1_re - u_im * t1_im
-        v_im = u_re * t1_im + u_im * t1_re
-        s_re = jnp.dot(tri, v_re, preferred_element_type=jnp.float32,
-                       precision=precision) + carry[l:l + 1, :]
-        s_im = jnp.dot(tri, v_im, preferred_element_type=jnp.float32,
-                       precision=precision) + carry[l + 3:l + 4, :]
-        t2_re = t2re_ref[l]
-        t2_im = t2im_ref[l]
-        F_re = s_re * t2_re - s_im * t2_im
-        F_im = s_re * t2_im + s_im * t2_re
-        # spectral hann over the twiddle lines (AudioSQPV.cpp:110-112)
-        wgt = jnp.float32(0.5 if l == 1 else -0.25)
-        fw_re = F_re * wgt if fw_re is None else fw_re + F_re * wgt
-        fw_im = F_im * wgt if fw_im is None else fw_im + F_im * wgt
-        lasts.append((F_re[_F - 1:_F, :], F_im[_F - 1:_F, :]))
-
-    energy = fw_re * fw_re + fw_im * fw_im
-    dead = energy == 0.0
-    mag = jnp.where(dead, 0.0, jnp.sqrt(jnp.where(dead, 1.0, energy)))
-    phase = _atan2(jnp.where(dead, 0.0, fw_im),
-                   jnp.where(dead, 1.0, fw_re))
-
-    prev = _roll_rows(phase, carry[6:7, :])
     binf = binf_ref[0:1, :]                             # [1, Bp]
     two_pi = jnp.float32(2.0 * np.pi)
     expected = binf * jnp.float32(2.0 * np.pi / sample_rate)
-    d = phase - prev - expected
-    d = d - two_pi * jnp.round(d / two_pi)
-    freq = binf + d * jnp.float32(sample_rate / (2.0 * np.pi))
 
-    mag_ref[0] = mag
-    freq_ref[0] = freq
-    for l in range(3):
-        carry[l:l + 1, :] = lasts[l][0]
-        carry[l + 3:l + 4, :] = lasts[l][1]
-    carry[6:7, :] = phase[_F - 1:_F, :]
+    for k in range(_TPB):
+        rows = slice(k * _F, (k + 1) * _F)
+        u_re = u_re_ref[0, rows]                        # [F, Bp]
+        u_im = u_im_ref[0, rows]
+        gi = ((t * _TPB + k) * _F
+              + jax.lax.broadcasted_iota(jnp.int32, (_F, bp), 0)
+              ).astype(jnp.float32)
+        m_new = (gi == qk_ref[0:1, :]).astype(jnp.float32)
+        m_old = (gi == qk_ref[1:2, :]).astype(jnp.float32)
+        u_re = u_re + x0 * (qk_ref[2:3, :] * m_new
+                            + qk_ref[4:5, :] * m_old)
+        u_im = u_im + x0 * (qk_ref[3:4, :] * m_new)
+
+        fw_re = None
+        fw_im = None
+        lasts = []
+        for l in range(3):
+            t1_re = t1re_ref[l]                         # [F, Bp]
+            t1_im = t1im_ref[l]
+            v_re = u_re * t1_re - u_im * t1_im
+            v_im = u_re * t1_im + u_im * t1_re
+            s_re = jnp.dot(tri, v_re, preferred_element_type=jnp.float32,
+                           precision=precision) + carry[l:l + 1, :]
+            s_im = jnp.dot(tri, v_im, preferred_element_type=jnp.float32,
+                           precision=precision) + carry[l + 3:l + 4, :]
+            t2_re = t2re_ref[l]
+            t2_im = t2im_ref[l]
+            F_re = s_re * t2_re - s_im * t2_im
+            F_im = s_re * t2_im + s_im * t2_re
+            # spectral hann over the twiddle lines (AudioSQPV.cpp:110-112)
+            wgt = jnp.float32(0.5 if l == 1 else -0.25)
+            fw_re = F_re * wgt if fw_re is None else fw_re + F_re * wgt
+            fw_im = F_im * wgt if fw_im is None else fw_im + F_im * wgt
+            lasts.append((F_re[_F - 1:_F, :], F_im[_F - 1:_F, :]))
+
+        energy = fw_re * fw_re + fw_im * fw_im
+        dead = energy == 0.0
+        mag = jnp.where(dead, 0.0,
+                        jnp.sqrt(jnp.where(dead, 1.0, energy)))
+        phase = _atan2(jnp.where(dead, 0.0, fw_im),
+                       jnp.where(dead, 1.0, fw_re))
+
+        prev = _roll_rows(phase, carry[6:7, :])
+        d = phase - prev - expected
+        d = d - two_pi * jnp.round(d / two_pi)
+        freq = binf + d * jnp.float32(sample_rate / (2.0 * np.pi))
+
+        mag_ref[0, rows] = mag
+        freq_ref[0, rows] = freq
+        for l in range(3):
+            carry[l:l + 1, :] = lasts[l][0]
+            carry[l + 3:l + 4, :] = lasts[l][1]
+        carry[6:7, :] = phase[_F - 1:_F, :]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -152,7 +163,7 @@ def _stage_fused(x, *, sample_rate: float, bins_per_octave: float,
     from flan_tpu.sqpv.transform import _cq_params, _stage_comb
     _, nb0, _, _ = _cq_params(sample_rate, bins_per_octave, bandwidth)
     u_re, u_im, w0, nbins, bpad = _stage_comb(
-        x, sample_rate, bins_per_octave, bandwidth, tile=_F,
+        x, sample_rate, bins_per_octave, bandwidth, tile=_F * _TPB,
         bpad=-(-nb0 // _F) * _F, quirk=False, stack_axis=0)
     return u_re, u_im
 
@@ -188,7 +199,7 @@ def _forward_fused_core(x, u_re_t, u_im_t, *, sample_rate: float,
     w0 = int(periods0.max() // 2 + 2)
     u_re = u_re_t.transpose(1, 2, 0)                      # [C, T, Bp]
     u_im = u_im_t.transpose(1, 2, 0)
-    ntiles = u_re.shape[1] // _F
+    nblocks = u_re.shape[1] // (_F * _TPB)
     (q, _, freqs_pad, periods, t1_re, t1_im, t2_re, t2_im) = _cq_tables(
         sample_rate, bins_per_octave, bandwidth, bpad)
 
@@ -213,13 +224,14 @@ def _forward_fused_core(x, u_re_t, u_im_t, *, sample_rate: float,
                              precision=precision)
     tab = lambda ch, t: (0, 0, 0)
     tspec = pl.BlockSpec((3, _F, bpad), tab, memory_space=pltpu.VMEM)
+    blk = _TPB * _F
     mag, freq = pl.pallas_call(
         kern,
-        grid=(c, ntiles),
+        grid=(c, nblocks),
         in_specs=[
-            pl.BlockSpec((1, _F, bpad), lambda ch, t: (ch, t, 0),
+            pl.BlockSpec((1, blk, bpad), lambda ch, t: (ch, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _F, bpad), lambda ch, t: (ch, t, 0),
+            pl.BlockSpec((1, blk, bpad), lambda ch, t: (ch, t, 0),
                          memory_space=pltpu.VMEM),
             tspec, tspec, tspec, tspec,
             pl.BlockSpec((1, bpad), lambda ch, t: (0, 0),
@@ -230,14 +242,14 @@ def _forward_fused_core(x, u_re_t, u_im_t, *, sample_rate: float,
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, _F, bpad), lambda ch, t: (ch, t, 0),
+            pl.BlockSpec((1, blk, bpad), lambda ch, t: (ch, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _F, bpad), lambda ch, t: (ch, t, 0),
+            pl.BlockSpec((1, blk, bpad), lambda ch, t: (ch, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((c, ntiles * _F, bpad), jnp.float32),
-            jax.ShapeDtypeStruct((c, ntiles * _F, bpad), jnp.float32),
+            jax.ShapeDtypeStruct((c, nblocks * blk, bpad), jnp.float32),
+            jax.ShapeDtypeStruct((c, nblocks * blk, bpad), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((8, bpad), jnp.float32)],
         interpret=_interpret(),
@@ -261,22 +273,24 @@ def _inv_kernel(mag_ref, freq_ref, twre_ref, twim_ref, out_ref, cyc,
     def _():
         cyc[:] = jnp.zeros_like(cyc)
 
-    m = mag_ref[0]                                       # [F, Bp]
-    fr = freq_ref[0]
-    inc = fr * jnp.float32(1.0 / sample_rate)
-    inc = inc - jnp.floor(inc)
     ri = jax.lax.broadcasted_iota(jnp.int32, (_F, _F), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (_F, _F), 1)
     tri = jnp.where(ri >= ci, jnp.float32(1.0), jnp.float32(0.0))
-    run = jnp.dot(tri, inc, preferred_element_type=jnp.float32,
-                  precision=precision) + cyc[0:1, :]
-    cycles = run - jnp.floor(run)
-    ang = cycles * jnp.float32(2.0 * np.pi)
-    # Re( polar(m, ang) * twiddle_k ), summed over bins
-    real = m * (jnp.cos(ang) * twre_ref[0:1, :]
-                - jnp.sin(ang) * twim_ref[0:1, :])
-    out_ref[0] = jnp.sum(real, axis=1, keepdims=True)
-    cyc[:] = cycles[_F - 1:_F, :]
+    for k in range(_TPB):
+        rows = slice(k * _F, (k + 1) * _F)
+        m = mag_ref[0, rows]                             # [F, Bp]
+        fr = freq_ref[0, rows]
+        inc = fr * jnp.float32(1.0 / sample_rate)
+        inc = inc - jnp.floor(inc)
+        run = jnp.dot(tri, inc, preferred_element_type=jnp.float32,
+                      precision=precision) + cyc[0:1, :]
+        cycles = run - jnp.floor(run)
+        ang = cycles * jnp.float32(2.0 * np.pi)
+        # Re( polar(m, ang) * twiddle_k ), summed over bins
+        real = m * (jnp.cos(ang) * twre_ref[0:1, :]
+                    - jnp.sin(ang) * twim_ref[0:1, :])
+        out_ref[0, rows] = jnp.sum(real, axis=1, keepdims=True)
+        cyc[:] = cycles[_F - 1:_F, :]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -299,8 +313,9 @@ def sqpv_inverse_fused(mag, pitch, positive, *, sample_rate: float,
     tw_re[:b] = tw.real
     tw_im[:b] = tw.imag
 
-    ntiles = -(-f // _F)
-    fpad = ntiles * _F
+    blk = _TPB * _F
+    nblocks = -(-f // blk)
+    fpad = nblocks * blk
     sign = jnp.where(positive, 1.0, -1.0).astype(jnp.float32)
     freq = sign * jnp.exp2(pitch)
     pads = [(0, 0), (0, fpad - f), (0, bpad - b)]
@@ -311,18 +326,18 @@ def sqpv_inverse_fused(mag, pitch, positive, *, sample_rate: float,
                              precision=precision)
     out = pl.pallas_call(
         kern,
-        grid=(c, ntiles),
+        grid=(c, nblocks),
         in_specs=[
-            pl.BlockSpec((1, _F, bpad), lambda ch, t: (ch, t, 0),
+            pl.BlockSpec((1, blk, bpad), lambda ch, t: (ch, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _F, bpad), lambda ch, t: (ch, t, 0),
+            pl.BlockSpec((1, blk, bpad), lambda ch, t: (ch, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bpad), lambda ch, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bpad), lambda ch, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _F, 1), lambda ch, t: (ch, t, 0),
+        out_specs=pl.BlockSpec((1, blk, 1), lambda ch, t: (ch, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, fpad, 1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, bpad), jnp.float32)],

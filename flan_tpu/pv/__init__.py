@@ -14,7 +14,7 @@ def _bind(module, names):
 _bind(_algorithms, [
     "select", "freeze", "replace_amplitudes", "subtract_amplitudes",
     "add_octaves", "add_harmonics", "shape", "retain_n_loudest_partials",
-    "remove_n_loudest_partials", "resonate",
+    "remove_n_loudest_partials", "resonate", "perturb",
 ])
 PV.get_bin_interpolated = _algorithms.get_bin_interpolated
 PV.getBinInterpolated = _algorithms.get_bin_interpolated

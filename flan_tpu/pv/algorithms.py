@@ -390,3 +390,65 @@ def resonate(self, length: float, decay):
         self.freq)
     freq = jnp.take_along_axis(freq_in, last_win, axis=1)
     return self._with(mag=y, freq=freq)
+
+
+def perturb(self, mf_std_dev, damping: float = 0.99, *, seed: int = 0):
+    """Randomly perturb the MF data, activated from the reference's
+    commented experimental implementation (PV.cpp:460-548): frequency
+    accelerations ~ N(0, f_std(t, f)/20) accumulate through TWO damped
+    recurrences — along frames per bin, then along bins per frame, each
+    step scaled by `damping` — and land scaled by 200; magnitudes get a
+    per-frame random-walk offset ~ N(0, m_std(t, bin 0)/20) shared by
+    every bin of the frame (the reference samples the magnitude std at
+    bin 0 — preserved), drawn independently per channel.
+
+    Two deliberate deviations from the commented code, both documented
+    upstream as unfinished ("Magnitude is currently unimplimented...",
+    PV.cpp:465-470): the final frequency read uses the full
+    per-(frame, bin) offset field the code computes (the comment-era
+    indexing read only the frame-0 row), and the reference's
+    std::time(nullptr) seeding becomes an explicit `seed` (the repo
+    convention for every reference RNG, SURVEY §7).
+
+    mf_std_dev: a (mag_std, freq_std) pair, each a constant or a
+    Function of (time, frequency); negative stds clamp to 0.
+    """
+    from flan_tpu.func.function import as_function2d
+    from flan_tpu.ops.scan import linear_recurrence
+    from flan_tpu.pv.pv import PV
+    if self.is_null():
+        return PV.create_null()
+    try:
+        m_in, f_in = mf_std_dev
+    except TypeError:
+        m_in = f_in = mf_std_dev
+    m_fn = as_function2d(m_in)
+    f_fn = as_function2d(f_in)
+
+    c, nf, nb = self.mag.shape
+    t = (jnp.arange(nf, dtype=jnp.float32) / self.analysis_rate)[:, None]
+    fr = (jnp.arange(nb, dtype=jnp.float32) * self.bin_width)[None, :]
+    m_std = jnp.maximum(jnp.broadcast_to(
+        jnp.asarray(m_fn(t, fr), jnp.float32), (nf, nb)), 0.0)
+    f_std = jnp.maximum(jnp.broadcast_to(
+        jnp.asarray(f_fn(t, fr), jnp.float32), (nf, nb)), 0.0)
+
+    eps = 1e-5
+    key = jax.random.PRNGKey(seed)
+    k_acc, k_mag = jax.random.split(key)
+    accel = jnp.where(
+        f_std < eps, 0.0,
+        jax.random.normal(k_acc, (nf, nb), jnp.float32) * (f_std / 20.0))
+    d = jnp.float32(damping)
+    velocs = linear_recurrence(d, d * accel, axis=0)   # frames, per bin
+    offs = linear_recurrence(d, d * velocs, axis=1)    # bins, per frame
+
+    mag_std0 = m_std[:, 0]
+    steps = jnp.where(
+        mag_std0[None, :] < eps, 0.0,
+        jax.random.normal(k_mag, (c, nf), jnp.float32)
+        * (mag_std0[None, :] / 20.0))
+    mag_off = jnp.cumsum(steps, axis=1)
+
+    return self._with(mag=self.mag + mag_off[:, :, None],
+                      freq=self.freq + offs[None] * 200.0)
