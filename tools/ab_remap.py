@@ -1,6 +1,6 @@
 """A/B the streamed stretch remap: static row vs dynamic gather.
 
-Usage: python tools/ab_remap.py static|dynamic [SECONDS] [CHUNK_OUT]
+Usage: python tools/ab_remap.py static|dynamic [SECONDS] [CHUNK_OUT] [CHANNELS]
 Times the REAL pv_stretch_pipeline (factor 2, headline params) on the
 current backend. Subprocess-isolate per arm.
 """
@@ -18,6 +18,7 @@ def main():
     arm = sys.argv[1]
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 150.0
     chunk_out = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    channels = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     import jax
     import jax.numpy as jnp
     import flan_tpu.pipelines.streamed as st
@@ -30,8 +31,8 @@ def main():
     rng = np.random.default_rng(0)
     t = np.arange(n, dtype=np.float32) / sr
     x = jnp.asarray(np.stack([
-        0.4 * np.sin(2 * np.pi * 220.0 * t) + 0.1 * rng.standard_normal(n),
-        0.4 * np.sin(2 * np.pi * 330.0 * t) + 0.1 * rng.standard_normal(n),
+        0.4 * np.sin(2 * np.pi * (220.0 + 10 * c) * t)
+        + 0.1 * rng.standard_normal(n) for c in range(channels)
     ]).astype(np.float32))
 
     fj = jax.jit(lambda v: pv_stretch_pipeline(
@@ -58,7 +59,7 @@ def main():
         floor = min(floor, time.perf_counter() - t0)
     best = max(best - floor, best * 0.25)
     print(json.dumps({"arm": arm, "seconds": seconds,
-                      "chunk_out": chunk_out,
+                      "chunk_out": chunk_out, "channels": channels,
                       "ms": round(best * 1e3, 1),
                       "x_realtime": round(seconds / best, 1)}))
 
