@@ -162,10 +162,11 @@ def filter_pinna(self, height):
     """Approximate pinna (outer-ear-flap) elevation filtering for a
     source one meter away, activated from the reference's commented
     implementation (AudioSpatial.cpp:69-84): the elevation angle
-    atan(height) drives three band shelves — the main 8 kHz shelf
-    sweeps -5..+5 dB across -90..+90 degrees, a thin 10 kHz shelf at
-    0.8x that gain and a broad 3.5 kHz shelf at 0.1x (damping values
-    from the reference's qr = 1/2 note)."""
+    atan(height) drives three band shelves — the main 8 kHz shelf gain
+    is -5 + angle/(pi/2) * 10 dB (so -15 dB far below, -5 dB at ear
+    level, +5 dB far above — the reference's own asymmetric curve), a
+    thin 10 kHz shelf at 0.8x that gain and a broad 3.5 kHz shelf at
+    0.1x (damping values from the reference's qr = 1/2 note)."""
     from flan_tpu.audio import filters as _filters
     from flan_tpu.audio.audio import Audio
     if self.is_null():

@@ -529,11 +529,18 @@ def synthesize_pulsars(length: float, pulse_frequency, waveform,
     in_rate = sample_rate * oversample
     n_in = out_frames * oversample
 
-    pf = jnp.maximum(jnp.asarray(
-        _sample_fn(pulse_frequency, n_in, 1.0 / in_rate), jnp.float32),
-        1e-6)
-    wf = jnp.asarray(_sample_fn(waveform_frequency, n_in, 1.0 / in_rate),
-                     jnp.float32)
+    # control rates are built ON DEVICE from their generators like
+    # synthesize_waveform (CLAUDE.md: multi-MB host->device transfers
+    # cost 100s of ms through the tunnel)
+    def dev_sample(fn):
+        f = as_function(fn)
+        if f.is_constant:
+            return jnp.full((n_in,), float(f.constant_value), jnp.float32)
+        t = jnp.arange(n_in, dtype=jnp.float32) / in_rate
+        return jnp.broadcast_to(jnp.asarray(f(t), jnp.float32), (n_in,))
+
+    pf = jnp.maximum(dev_sample(pulse_frequency), 1e-6)
+    wf = dev_sample(waveform_frequency)
     inc = jnp.mod(pf / in_rate, 1.0)
     cycles = jax.lax.associative_scan(lambda a, b: jnp.mod(a + b, 1.0), inc)
     phi = jnp.concatenate([jnp.zeros((1,)), cycles[:-1]])
@@ -690,8 +697,8 @@ def _granulate_render(x, s0, lens, sf, ef, q, r_off, *, L: int, out_n: int,
             src, jnp.broadcast_to(lidx, (G, src.shape[1], L)), axis=-1)
         grains = grains * env[:, None, :]
     else:
-        # the round-3 baseline: one [G*L] per-element gather (kept for
-        # A/B; measured slower on the v5e)
+        # the default: one [G*L] per-element gather (measured FASTER than
+        # the block form on the v5e, 175.8x vs 136.9x - see above)
         idx = jnp.minimum(s0[:, None] + lane, n - 1)          # [G, L]
         grains = jnp.take(x, idx.reshape(-1), axis=1).reshape(
             x.shape[0], idx.shape[0], L)

@@ -40,6 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from flan_tpu.ops.fastmath import sincos_2pi as _sincos_2pi
 from flan_tpu.ops.spv_pallas import _atan2, _interpret, _roll_rows
 
 _F = 128   # frames per tile: one MXU-tile of prefix accumulation
@@ -287,10 +288,10 @@ def _inv_kernel(mag_ref, freq_ref, twre_ref, twim_ref, out_ref, cyc,
         run = jnp.dot(tri, inc, preferred_element_type=jnp.float32,
                       precision=precision) + cyc[0:1, :]
         cycles = run - jnp.floor(run)
-        ang = cycles * jnp.float32(2.0 * np.pi)
-        # Re( polar(m, ang) * twiddle_k ), summed over bins
-        real = m * (jnp.cos(ang) * twre_ref[0:1, :]
-                    - jnp.sin(ang) * twim_ref[0:1, :])
+        # Re( polar(m, 2 pi cycles) * twiddle_k ), summed over bins; the
+        # polynomial sincos (ops/fastmath.py) takes mod-1 cycles directly
+        sn, cs = _sincos_2pi(cycles)
+        real = m * (cs * twre_ref[0:1, :] - sn * twim_ref[0:1, :])
         out_ref[0, rows] = jnp.sum(real, axis=1, keepdims=True)
         cyc[:] = cycles[_F - 1:_F, :]
 

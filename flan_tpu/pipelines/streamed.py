@@ -174,7 +174,7 @@ def streamed_pv_process(xs: Sequence[jnp.ndarray],
                         window_size: int = 2048, hop: int = 128,
                         dft_size: int = 4096,
                         sample_rate: float = 48000.0,
-                        chunk_out: int = 256) -> jnp.ndarray:
+                        chunk_out: int = None) -> jnp.ndarray:
     """Stream inputs through forward PV -> remap -> op -> inverse PV.
 
     xs: list of [C, N] audio arrays (equal channel counts; shorter inputs
@@ -190,6 +190,12 @@ def streamed_pv_process(xs: Sequence[jnp.ndarray],
     for x in xs:
         if int(x.shape[0]) != c:
             raise ValueError("streamed_pv_process requires equal channels")
+    if chunk_out is None:
+        # the per-step working set scales with total folded channels; at
+        # 32 channels chunk 128 measured 502x aggregate vs 432x at 256
+        # (tools/ab_remap.py sweep), while 2-channel clips keep 256
+        # (636x vs 537x at 128)
+        chunk_out = 128 if c * len(xs) >= 16 else 256
     stacked = jnp.stack(
         [jnp.pad(x, [(0, 0), (0, n - int(x.shape[-1]))]) for x in xs])
     nh = num_hops(n, hop)
@@ -303,7 +309,7 @@ def _memo_chunk_op(factory):
 def pv_repitch_pipeline(x: jnp.ndarray, factor, *, window_size: int = 2048,
                         hop: int = 128, dft_size: int = 4096,
                         sample_rate: float = 48000.0,
-                        chunk_out: int = 256) -> jnp.ndarray:
+                        chunk_out: int = None) -> jnp.ndarray:
     """Streaming audio -> audio PV repitch: per-frame monotonic frequency
     remap (reference PVModify.cpp:273-305) without materializing PV.
     factor: positive float or Function of (t, f)."""
@@ -364,7 +370,7 @@ def _repitch_chunk_op_const(f: float, nbins: int, bin_width: float):
 def pv_morph_pipeline(a: jnp.ndarray, b: jnp.ndarray, amount, *,
                       window_size: int = 2048, hop: int = 128,
                       dft_size: int = 4096, sample_rate: float = 48000.0,
-                      chunk_out: int = 256) -> jnp.ndarray:
+                      chunk_out: int = None) -> jnp.ndarray:
     """Streaming two-source spectral morph: replace_amplitudes semantics
     (reference PV.cpp:205-236) - magnitudes blend toward source b by
     amount(t, f), frequencies stay a's - fused end to end so 10-minute

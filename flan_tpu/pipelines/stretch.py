@@ -25,7 +25,7 @@ from flan_tpu.pipelines.streamed import streamed_pv_process
 def pv_stretch_pipeline(x: jnp.ndarray, factor, *, window_size: int = 2048,
                         hop: int = 128, dft_size: int = 4096,
                         sample_rate: float = 48000.0,
-                        chunk_out: int = 256) -> jnp.ndarray:
+                        chunk_out: int = None) -> jnp.ndarray:
     """Stream audio [C, N] through PV stretch by `factor` (positive float or
     Function of time returning positive factors)."""
     from flan_tpu.func.function import as_function

@@ -440,8 +440,14 @@ def perturb(self, mf_std_dev, damping: float = 0.99, *, seed: int = 0):
         f_std < eps, 0.0,
         jax.random.normal(k_acc, (nf, nb), jnp.float32) * (f_std / 20.0))
     d = jnp.float32(damping)
-    velocs = linear_recurrence(d, d * accel, axis=0)   # frames, per bin
-    offs = linear_recurrence(d, d * velocs, axis=1)    # bins, per frame
+    # the reference seeds each recurrence with its own first element and
+    # then runs the loop from index 0 reading the seed (PV.cpp:496-523),
+    # doubling the first step: v[0] = 2 d a[0] (per bin) and o[0] =
+    # 2 d v[0] (per frame) - reproduced via y0
+    velocs = linear_recurrence(d, d * accel, y0=accel[0],
+                               axis=0)                 # frames, per bin
+    offs = linear_recurrence(d, d * velocs, y0=velocs[:, 0:1],
+                             axis=1)                   # bins, per frame
 
     mag_std0 = m_std[:, 0]
     steps = jnp.where(

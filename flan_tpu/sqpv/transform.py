@@ -219,10 +219,19 @@ def _sqpv_forward_scan(x, *, sample_rate: float, bins_per_octave: float,
     return mag, pitch, positive
 
 
-def _use_fused() -> bool:
+def _use_fused(x=None) -> bool:
     """Route through the fused Pallas kernels (ops/sqpv_pallas.py) off
     CPU; the scan form stays the CPU / differentiable path. Bins are
-    padded to 128 inside the fused path, so any geometry qualifies."""
+    padded to 128 inside the fused path, so any geometry qualifies.
+
+    Traced inputs (an outer jax.jit around convert_to_SQPV) fall back to
+    the scan form: the fused forward's two-program staging/kernel split
+    exists to keep XLA's pallas-operand layout from propagating through
+    the staging concat (ops/sqpv_pallas._stage_fused), and jit-of-jit
+    inlining would collapse the split and resurrect the 65 GB padded
+    temps it avoids."""
+    if x is not None and isinstance(x, jax.core.Tracer):
+        return False
     return jax.default_backend() not in ("cpu",)
 
 
@@ -233,7 +242,7 @@ def sqpv_forward(x: jnp.ndarray, sample_rate: float,
                  use_pallas: bool = None):
     """Audio [C, N] -> (mag, pitch, positive) each [C, N, B]."""
     if use_pallas is None:
-        use_pallas = _use_fused()
+        use_pallas = _use_fused(x)
     if use_pallas:
         from flan_tpu.ops.sqpv_pallas import sqpv_forward_fused
         return sqpv_forward_fused(

@@ -21,10 +21,9 @@ def main():
     from flan_tpu import Audio
     from flan_tpu.audio import synthesis
 
-    if arm == "elem":
-        orig = synthesis._granulate_render
-        synthesis._granulate_render = functools.partial(
-            orig, block_gather=False)
+    orig = synthesis._granulate_render
+    synthesis._granulate_render = functools.partial(
+        orig, block_gather=(arm == "block"))
 
     seconds = 30.0
     sr = 48000.0
