@@ -137,6 +137,9 @@ def _scan(xs, time_map, *, window_size, hop, dft_size, sample_rate,
         else:
             from flan_tpu.ops.stft import rfft_mag_phase
             mag, phase = rfft_mag_phase(frames, dft_size)
+        if "no_mid" in ablate:
+            # keep framing + rfft + polar; skip phase-diff/wrap/freq
+            return mag[:, :, 1:], phase[:, :, 1:]
         prev = jnp.concatenate(
             [jnp.zeros((n_in, c, 1, nbins), jnp.float32),
              phase[:, :, :-1]], axis=2)
@@ -152,6 +155,25 @@ def _scan(xs, time_map, *, window_size, hop, dft_size, sample_rate,
         s0, i0_c, li_c, mix_c, valid_c, f0 = inputs
 
         mag, freq = forward_chunk(xp, s0, i0_c)
+
+        if "no_mid" in ablate:
+            # cheap [H-1] -> [chunk] expansion; skip remap machinery,
+            # phase diff and the cumsum — measures the FFTs + OLA + scan
+            rep = -(-chunk_out // (H - 1)) + 1
+            s_mag = jnp.concatenate([mag[0]] * rep, axis=1)[:, :chunk_out]
+            s_pha = jnp.concatenate([freq[0]] * rep, axis=1)[:, :chunk_out]
+            from flan_tpu.ops.stft import irfft_polar
+            out_t = irfft_polar(s_mag, s_pha, dft_size,
+                                out_len=wpad)[..., :wpad]
+            out_t = out_t * inv_window[None, None, :]
+            blocks = out_t.reshape(c, chunk_out, r, hop)
+            acc = jnp.zeros((c, chunk_out + r, hop), jnp.float32)
+            acc = acc.at[:, :r, :].set(tail)
+            for j in range(r):
+                acc = acc.at[:, j:j + chunk_out, :].add(blocks[:, :, j, :])
+            out = acc[:, :chunk_out, :].reshape(c, chunk_out * hop)
+            new_tail = acc[:, chunk_out:, :]
+            return (cycle0, new_tail), out
 
         if "no_remap" in ablate:
             s_mag = jnp.broadcast_to(mag[0, :, :1], (c, chunk_out, nbins))
@@ -211,7 +233,8 @@ def _scan(xs, time_map, *, window_size, hop, dft_size, sample_rate,
 
 
 VARIANTS = ("full", "no_fwd_fft", "no_phase", "no_remap", "no_cumsum",
-            "no_polar", "no_inv_fft", "no_ola", "skeleton", "host_plan")
+            "no_polar", "no_inv_fft", "no_ola", "skeleton", "host_plan",
+            "no_mid")
 
 
 def main():
