@@ -253,8 +253,12 @@ def streamed_pv_process(xs: Sequence[jnp.ndarray],
     # after the gather exactly as before.
     full = np.nonzero(valid_s.all(axis=1))[0]
     li_row = mix_row = None
-    if full.size and not _FORCE_DYNAMIC_REMAP:
-        ref = int(full[0])
+    if not _FORCE_DYNAMIC_REMAP:
+        # reference chunk: first fully valid one, else the most-valid
+        # (single-chunk runs and edge-heavy maps have none fully valid;
+        # the masked comparison below still decides correctly)
+        ref = int(full[0]) if full.size else int(
+            np.argmax(valid_s.sum(axis=1)))
         stride = (int(i0[ref + 1]) - int(i0[ref])
                   if ref + 1 < nchunks else 0)
         i0_u = (int(i0[ref])
