@@ -132,6 +132,35 @@ def main(argv=None, cancel=None) -> int:
     p.add_argument("out_dir")
     p.add_argument("inputs", nargs="+")
 
+    p = sub.add_parser("convolve", help="FFT convolution with an IR file")
+    p.add_argument("--ir", required=True, help="impulse-response WAV")
+    p.add_argument("out_dir")
+    p.add_argument("inputs", nargs="+")
+
+    p = sub.add_parser("granulate",
+                       help="granular resynthesis (dense batched grains)")
+    p.add_argument("--length", type=float, required=True,
+                   help="output length, seconds")
+    p.add_argument("--grains-per-second", type=float, default=20.0)
+    p.add_argument("--grain-length", type=float, default=0.1)
+    p.add_argument("--scan-rate", type=float, default=1.0,
+                   help="source read rate (selection = rate * t)")
+    p.add_argument("--fade", type=float, default=0.01)
+    p.add_argument("--scatter", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("out_dir")
+    p.add_argument("inputs", nargs="+")
+
+    p = sub.add_parser("stereo-delay",
+                       help="cross-feedback stereo delay (stereo inputs)")
+    p.add_argument("--length", type=float, required=True,
+                   help="output length, seconds")
+    p.add_argument("--l-time", type=float, required=True)
+    p.add_argument("--r-time", type=float, required=True)
+    p.add_argument("--decay", type=float, default=0.5)
+    p.add_argument("out_dir")
+    p.add_argument("inputs", nargs="+")
+
     args = ap.parse_args(argv)
     from flan_tpu import Audio
 
@@ -178,6 +207,32 @@ def main(argv=None, cancel=None) -> int:
                                           ".bmp")):
             c.convert_to_PV().convert_to_graph().save_image(q)
             print(q)
+    elif args.cmd == "convolve":
+        ir = _load([args.ir])[0]
+        clips = _load(args.inputs)
+        rendered = [c.convolve(ir) for c in clips]
+        _save_all(rendered, args.inputs, args.out_dir)
+    elif args.cmd == "granulate":
+        clips = _load(args.inputs)
+        rate = args.scan_rate
+        rendered = [
+            c.granulate(args.length, args.grains_per_second, args.scatter,
+                        lambda t: rate * t, args.grain_length, args.fade,
+                        seed=args.seed)
+            for c in clips]
+        _save_all(rendered, args.inputs, args.out_dir)
+    elif args.cmd == "stereo-delay":
+        clips = _load(args.inputs)
+        rendered = []
+        for c in clips:
+            out = c.stereo_delay(args.length, args.l_time, args.r_time,
+                                 args.decay)
+            if out.is_null():
+                raise SystemExit(
+                    "stereo-delay requires stereo inputs with positive "
+                    "delay times")
+            rendered.append(out)
+        _save_all(rendered, args.inputs, args.out_dir)
     return 0
 
 

@@ -145,3 +145,37 @@ def test_cli_cancel_token(tmp_path, monkeypatch):
         main(["stretch", "--factor", "1.5", str(tmp_path / "out"),
               str(tmp_path / "in0.wav"), str(tmp_path / "in1.wav")],
              cancel=tok)
+
+
+def test_cli_convolve_granulate_stereo_delay(tmp_path):
+    rng = np.random.default_rng(0)
+    stereo = str(tmp_path / "st.wav")
+    Audio.create_from_array(
+        (rng.standard_normal((2, int(0.6 * SR))) * 0.2).astype(np.float32),
+        SR).save_to_file(stereo)
+    ir = str(tmp_path / "ir.wav")
+    Audio.create_from_array(
+        (rng.standard_normal((1, 400)) * np.exp(-np.arange(400) / 100.0)
+         ).astype(np.float32), SR).save_to_file(ir)
+
+    out = tmp_path / "conv"
+    assert main(["convolve", "--ir", ir, str(out), stereo]) == 0
+    assert not Audio.load_from_file(str(out / "st.wav")).is_null()
+
+    out = tmp_path / "gran"
+    assert main(["granulate", "--length", "0.8", str(out), stereo]) == 0
+    assert not Audio.load_from_file(str(out / "st.wav")).is_null()
+
+    out = tmp_path / "sdel"
+    assert main(["stereo-delay", "--length", "1.0", "--l-time", "0.05",
+                 "--r-time", "0.08", str(out), stereo]) == 0
+    got = Audio.load_from_file(str(out / "st.wav"))
+    assert got.num_frames == int(1.0 * SR)
+
+    # mono input must fail cleanly for the stereo-only effect
+    mono = str(tmp_path / "mono.wav")
+    Audio.create_from_array(
+        np.zeros((1, 1000), np.float32), SR).save_to_file(mono)
+    with pytest.raises(SystemExit):
+        main(["stereo-delay", "--length", "1.0", "--l-time", "0.05",
+              "--r-time", "0.08", str(tmp_path / "x"), mono])
