@@ -223,8 +223,6 @@ def spv_forward_fused(x, *, nbins: int, sample_rate: float,
             pltpu.VMEM((1, nbins), jnp.float32),
             pltpu.VMEM((_RING, _F), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=_interpret(),
     )(xt, jnp.asarray(tw_re), jnp.asarray(tw_im))
     return mag[:, :n], freq[:, :n]
@@ -286,8 +284,6 @@ def spv_inverse_fused(mag, freq, *, sample_rate: float,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, npad, 1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, b), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
         interpret=_interpret(),
     )(mag, freq)
     return out[:, :n, 0]

@@ -253,8 +253,6 @@ def _forward_fused_core(x, u_re_t, u_im_t, *, sample_rate: float,
             jax.ShapeDtypeStruct((c, nblocks * blk, bpad), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((8, bpad), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
         interpret=_interpret(),
     )(u_re, u_im, jnp.asarray(t1_re), jnp.asarray(t1_im),
       jnp.asarray(t2_re), jnp.asarray(t2_im),
@@ -344,8 +342,6 @@ def sqpv_inverse_fused(mag, pitch, positive, *, sample_rate: float,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, fpad, 1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, bpad), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
         interpret=_interpret(),
     )(mag, freq, jnp.asarray(tw_re)[None, :], jnp.asarray(tw_im)[None, :])
     return out[:, :f, 0]
