@@ -650,9 +650,9 @@ def _granulate_batched(self, times: np.ndarray, sels: np.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("L", "out_n", "envelope",
-                                             "block_gather"))
+                                             "gather_mode"))
 def _granulate_render(x, s0, lens, sf, ef, q, r_off, *, L: int, out_n: int,
-                      envelope, block_gather: bool = False):
+                      envelope, gather_mode: str = "elem"):
     """One compiled program: grain gather + fades/window + block mix."""
     n = x.shape[-1]
     lane = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -672,15 +672,31 @@ def _granulate_render(x, s0, lens, sf, ef, q, r_off, *, L: int, out_n: int,
             envelope(lane_f / jnp.maximum(lens_f, 1.0)), jnp.float32)
     env = env * mask
 
-    # A/B'd on the v5e (tools/ab_granulate.py): the two-level form —
-    # 128-lane block-row gather + small in-VMEM lane shift — measured
-    # 136.9x vs 175.8x for the plain per-element gather, so the
-    # per-element form stays the default; the block form is kept for
-    # re-evaluation on other backends. (Counterexample to the "gathers
-    # scale with operand" rule: at this grain density the elementwise
-    # gather is already near HBM speed, and the block form pays an
-    # extra materialized [G, C, L + 256] intermediate.)
-    if block_gather:
+    # Three extraction formulations, A/B'd on the v5e
+    # (tools/ab_granulate.py): "elem" (default) — one [G*L] gather —
+    # measured FASTEST (148-176x); "slicemap" removes the gather
+    # entirely (lax.map of contiguous dynamic_slice) yet is SLOWER
+    # (135x), proving the gather is not this config's bottleneck (the
+    # shared block-scatter mixer dominates); "block" — 128-lane
+    # block-row gather + in-VMEM lane shift — is slowest (137x).
+    if gather_mode == "slicemap":
+        # no gather at all: grains are CONTIGUOUS reads, so a lax.map of
+        # dynamic_slice extracts them as plain windowed memcpys (the
+        # CLAUDE.md restructure rule pays off when it REMOVES the
+        # data-dependent gather, not when it swaps one for another - the
+        # block-row gather variant below measured slower). x pads L so
+        # every start is in bounds; lanes past each grain's length read
+        # zeros/stale data and are masked by env.
+        G = s0.shape[0]
+        xg = jnp.pad(x, [(0, 0), (0, L)])
+
+        def extract(s):
+            return jax.lax.dynamic_slice(
+                xg, (0, s), (x.shape[0], L))
+
+        grains = jax.lax.map(extract, s0)                 # [G, C, L]
+        grains = grains * env[:, None, :]
+    elif gather_mode == "block":
         block = 128
         G = s0.shape[0]
         qs = s0 // block
