@@ -640,20 +640,33 @@ def _granulate_batched(self, times: np.ndarray, sels: np.ndarray,
     # through the remote transport (granulate measured 40x before)
     L = int(lens.max())
     out_n = int((starts_out + lens).max())
+    nblk_g = -(-(L + 127) // 128)   # must mirror _align_grains_to_blocks
+    ids_np = ((starts_out // 128)[:, None]
+              + np.arange(nblk_g)[None, :]).reshape(-1)
+    perm = np.argsort(ids_np, kind="stable").astype(np.int32)
+    meta = np.stack([s0, lens, sf, ef, starts_out // 128,
+                     starts_out % 128]).astype(np.int32)
     data = _granulate_render(
-        self.data, jnp.asarray(s0, jnp.int32), jnp.asarray(lens, jnp.int32),
-        jnp.asarray(sf, jnp.int32), jnp.asarray(ef, jnp.int32),
-        jnp.asarray(starts_out // 128, jnp.int32),
-        jnp.asarray(starts_out % 128, jnp.int32),
+        self.data, jnp.asarray(meta), jnp.asarray(perm),
         L=L, out_n=out_n, envelope=envelope)
     return Audio(data=data, sample_rate=sr)
 
 
 @functools.partial(jax.jit, static_argnames=("L", "out_n", "envelope",
-                                             "gather_mode"))
-def _granulate_render(x, s0, lens, sf, ef, q, r_off, *, L: int, out_n: int,
-                      envelope, gather_mode: str = "elem"):
-    """One compiled program: grain gather + fades/window + block mix."""
+                                             "gather_mode", "mix_mode"))
+def _granulate_render(x, meta, perm=None, *,
+                      L: int, out_n: int, envelope,
+                      gather_mode: str = "elem", mix_mode: str = "scatter"):
+    """One compiled program: grain gather + fades/window + block mix.
+
+    meta packs the six [G] int32 per-grain control rows (s0, lens, sf,
+    ef, q, r_off) into ONE array: through the remote transport every
+    jit argument is its own host->device round trip, and seven tiny
+    transfers measured ~170 ms of the config's 202 ms wall (the gather,
+    scatter and compute each ablated to ~15 ms; tools/ab_granulate.py
+    mix_none / slicemap arms)."""
+    s0, lens, sf, ef, q, r_off = (meta[0], meta[1], meta[2], meta[3],
+                                  meta[4], meta[5])
     n = x.shape[-1]
     lane = jnp.arange(L, dtype=jnp.int32)[None, :]
     mask = (lane < lens[:, None]).astype(jnp.float32)
@@ -726,7 +739,20 @@ def _granulate_render(x, s0, lens, sf, ef, q, r_off, *, L: int, out_n: int,
         .transpose(0, 2, 1, 3).reshape(g * nblk_g, g_c, 128)
     ids = (q[:, None] + jnp.arange(nblk_g)[None, :]).reshape(-1)
     nblk_out = -(-(out_n + L) // 128) + 1
-    acc = jnp.zeros((nblk_out, g_c, 128), jnp.float32).at[ids].add(rows)
+    if mix_mode == "none":
+        # ablation arm (tools/ab_granulate.py): WRONG output, times the
+        # render with the data-dependent scatter-add removed
+        acc = jnp.zeros((nblk_out, g_c, 128), jnp.float32)
+        acc = acc.at[:1].add(rows[:1])
+    elif mix_mode == "sorted" and perm is not None:
+        # host-sorted rows let the scatter lowering use its
+        # sorted-indices path (perm = argsort of the host-known ids)
+        rows_s = jnp.take(rows, perm, axis=0)
+        ids_s = jnp.take(ids, perm)
+        acc = jnp.zeros((nblk_out, g_c, 128), jnp.float32).at[ids_s].add(
+            rows_s, indices_are_sorted=True)
+    else:
+        acc = jnp.zeros((nblk_out, g_c, 128), jnp.float32).at[ids].add(rows)
     return acc.transpose(1, 0, 2).reshape(g_c, nblk_out * 128)[:, :out_n]
 
 

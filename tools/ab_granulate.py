@@ -1,6 +1,6 @@
 """A/B the granulate grain extraction: block-row gather vs per-element.
 
-Usage: python tools/ab_granulate.py slicemap|elem|block
+Usage: python tools/ab_granulate.py slicemap|elem|block|mix_none|mix_sorted
 Runs the bench_convolve_texture granulate config (30 s stereo, 20
 grains/s, 0.1 s grains). Subprocess-isolate per arm (remote backend).
 """
@@ -22,7 +22,12 @@ def main():
     from flan_tpu.audio import synthesis
 
     orig = synthesis._granulate_render
-    synthesis._granulate_render = functools.partial(orig, gather_mode=arm)
+    if arm.startswith("mix_"):
+        synthesis._granulate_render = functools.partial(
+            orig, mix_mode=arm[4:])
+    else:
+        synthesis._granulate_render = functools.partial(
+            orig, gather_mode=arm)
 
     seconds = 30.0
     sr = 48000.0
