@@ -530,17 +530,11 @@ def synthesize_pulsars(length: float, pulse_frequency, waveform,
     n_in = out_frames * oversample
 
     # control rates are built ON DEVICE from their generators like
-    # synthesize_waveform (CLAUDE.md: multi-MB host->device transfers
-    # cost 100s of ms through the tunnel)
-    def dev_sample(fn):
-        f = as_function(fn)
-        if f.is_constant:
-            return jnp.full((n_in,), float(f.constant_value), jnp.float32)
-        t = jnp.arange(n_in, dtype=jnp.float32) / in_rate
-        return jnp.broadcast_to(jnp.asarray(f(t), jnp.float32), (n_in,))
-
-    pf = jnp.maximum(dev_sample(pulse_frequency), 1e-6)
-    wf = dev_sample(waveform_frequency)
+    # synthesize_waveform (CLAUDE.md transfer rules)
+    pf = jnp.maximum(
+        as_function(pulse_frequency).sample_device(n_in, 1.0 / in_rate),
+        1e-6)
+    wf = as_function(waveform_frequency).sample_device(n_in, 1.0 / in_rate)
     inc = jnp.mod(pf / in_rate, 1.0)
     cycles = jax.lax.associative_scan(lambda a, b: jnp.mod(a + b, 1.0), inc)
     phi = jnp.concatenate([jnp.zeros((1,)), cycles[:-1]])
@@ -640,14 +634,10 @@ def _granulate_batched(self, times: np.ndarray, sels: np.ndarray,
     # through the remote transport (granulate measured 40x before)
     L = int(lens.max())
     out_n = int((starts_out + lens).max())
-    nblk_g = -(-(L + 127) // 128)   # must mirror _align_grains_to_blocks
-    ids_np = ((starts_out // 128)[:, None]
-              + np.arange(nblk_g)[None, :]).reshape(-1)
-    perm = np.argsort(ids_np, kind="stable").astype(np.int32)
     meta = np.stack([s0, lens, sf, ef, starts_out // 128,
                      starts_out % 128]).astype(np.int32)
     data = _granulate_render(
-        self.data, jnp.asarray(meta), jnp.asarray(perm),
+        self.data, jnp.asarray(meta),
         L=L, out_n=out_n, envelope=envelope)
     return Audio(data=data, sample_rate=sr)
 
@@ -661,10 +651,12 @@ def _granulate_render(x, meta, perm=None, *,
 
     meta packs the six [G] int32 per-grain control rows (s0, lens, sf,
     ef, q, r_off) into ONE array: through the remote transport every
-    jit argument is its own host->device round trip, and seven tiny
-    transfers measured ~170 ms of the config's 202 ms wall (the gather,
-    scatter and compute each ablated to ~15 ms; tools/ab_granulate.py
-    mix_none / slicemap arms)."""
+    jit argument is its own host->device round trip (~6 ms each), and
+    dropping five of the seven tiny transfers measured 148x -> 174x
+    (202 -> 172.5 ms wall; the gather and scatter each ablated to only
+    ~15 ms — tools/ab_granulate.py mix_none / slicemap arms — so the
+    remaining wall is spread across align/env/relayout/dispatch with no
+    single dominant op)."""
     s0, lens, sf, ef, q, r_off = (meta[0], meta[1], meta[2], meta[3],
                                   meta[4], meta[5])
     n = x.shape[-1]
@@ -700,7 +692,6 @@ def _granulate_render(x, meta, perm=None, *,
         # block-row gather variant below measured slower). x pads L so
         # every start is in bounds; lanes past each grain's length read
         # zeros/stale data and are masked by env.
-        G = s0.shape[0]
         xg = jnp.pad(x, [(0, 0), (0, L)])
 
         def extract(s):
@@ -744,11 +735,12 @@ def _granulate_render(x, meta, perm=None, *,
         # render with the data-dependent scatter-add removed
         acc = jnp.zeros((nblk_out, g_c, 128), jnp.float32)
         acc = acc.at[:1].add(rows[:1])
-    elif mix_mode == "sorted" and perm is not None:
-        # host-sorted rows let the scatter lowering use its
-        # sorted-indices path (perm = argsort of the host-known ids)
-        rows_s = jnp.take(rows, perm, axis=0)
-        ids_s = jnp.take(ids, perm)
+    elif mix_mode == "sorted":
+        # A/B arm (measured: no win over the plain scatter): sorted rows
+        # let the scatter lowering use its sorted-indices path
+        perm_d = jnp.argsort(ids) if perm is None else perm
+        rows_s = jnp.take(rows, perm_d, axis=0)
+        ids_s = jnp.take(ids, perm_d)
         acc = jnp.zeros((nblk_out, g_c, 128), jnp.float32).at[ids_s].add(
             rows_s, indices_are_sorted=True)
     else:

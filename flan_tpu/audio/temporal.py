@@ -394,11 +394,7 @@ def stereo_delay(self, length: float, l_time, r_time, decay):
     # decay samples are only used on device - build them there (CLAUDE.md
     # transfer rule); the delay TIMES legitimately need host numpy (they
     # size the ring buffers)
-    if g_fn.is_constant:
-        g = jnp.full((out_n,), float(g_fn.constant_value), jnp.float32)
-    else:
-        tg = jnp.arange(out_n, dtype=jnp.float32) / sr
-        g = jnp.broadcast_to(jnp.asarray(g_fn(tg), jnp.float32), (out_n,))
+    g = g_fn.sample_device(out_n, 1.0 / sr)
 
     def shift(v, d):
         return jnp.pad(v, [(d, 0)])[:out_n]

@@ -210,21 +210,30 @@ def main(argv=None, cancel=None) -> int:
     elif args.cmd == "convolve":
         ir = _load([args.ir])[0]
         clips = _load(args.inputs)
-        rendered = [c.convolve(ir) for c in clips]
+        rendered = []
+        for c in clips:
+            if cancel is not None:
+                cancel.check()
+            rendered.append(c.convolve(ir))
         _save_all(rendered, args.inputs, args.out_dir)
     elif args.cmd == "granulate":
         clips = _load(args.inputs)
         rate = args.scan_rate
-        rendered = [
-            c.granulate(args.length, args.grains_per_second, args.scatter,
-                        lambda t: rate * t, args.grain_length, args.fade,
-                        seed=args.seed)
-            for c in clips]
+        rendered = []
+        for c in clips:
+            if cancel is not None:
+                cancel.check()
+            rendered.append(c.granulate(
+                args.length, args.grains_per_second, args.scatter,
+                lambda t: rate * t, args.grain_length, args.fade,
+                seed=args.seed))
         _save_all(rendered, args.inputs, args.out_dir)
     elif args.cmd == "stereo-delay":
         clips = _load(args.inputs)
         rendered = []
         for c in clips:
+            if cancel is not None:
+                cancel.check()
             out = c.stereo_delay(args.length, args.l_time, args.r_time,
                                  args.decay)
             if out.is_null():

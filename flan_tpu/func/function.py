@@ -63,6 +63,19 @@ class Function:
         grid = jnp.arange(start, end, dtype=jnp.float32) * period
         return _vector_eval(self._fn, grid)
 
+    def sample_device(self, count: int, period: float):
+        """Rasterize onto (0..count-1) * period as a DEVICE [count] f32
+        array (constants short-circuit to jnp.full - no host staging:
+        through the remote transport every host array is its own
+        round trip, CLAUDE.md). The shared helper for per-frame control
+        sampling in synthesis/temporal methods."""
+        if self._const is not None:
+            return jnp.full((count,), float(self._const), jnp.float32)
+        grid = jnp.arange(count, dtype=jnp.float32) * period
+        return jnp.broadcast_to(
+            jnp.asarray(_vector_eval(self._fn, grid), jnp.float32),
+            (count,))
+
     def periodize(self, period: float = 1.0) -> "Function":
         """Repeat this function with the given period (Function.h:128-137)."""
         if self._const is not None:
