@@ -117,8 +117,14 @@ def _scan(xs, time_map, *, window_size, hop, dft_size, sample_rate,
     span_start = (i0 - 1) * hop - (window_size // 2) + left_pad
 
     def forward_chunk(x_all, s0, i0_c):
-        span = jax.lax.dynamic_slice(
-            x_all, (0, 0, s0), (n_in, c, span_len))
+        if "no_span" in ablate:
+            # static slice + tiny perturbation keeps the data dependence
+            # on s0 without the dynamic-start slice of the huge array
+            span = (jax.lax.slice(x_all, (0, 0, 0), (n_in, c, span_len))
+                    + s0.astype(jnp.float32) * 1e-12)
+        else:
+            span = jax.lax.dynamic_slice(
+                x_all, (0, 0, s0), (n_in, c, span_len))
         rows = span.reshape(n_in, c, span_len // hop, hop)
         frames = jnp.stack(
             [rows[:, :, jj:jj + H, :] for jj in range(wblocks)],
@@ -234,7 +240,7 @@ def _scan(xs, time_map, *, window_size, hop, dft_size, sample_rate,
 
 VARIANTS = ("full", "no_fwd_fft", "no_phase", "no_remap", "no_cumsum",
             "no_polar", "no_inv_fft", "no_ola", "skeleton", "host_plan",
-            "no_mid")
+            "no_mid", "no_span")
 
 
 def main():
