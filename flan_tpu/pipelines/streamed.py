@@ -43,21 +43,23 @@ _FORCE_DYNAMIC_REMAP = False
     static_argnames=("chunk_op", "n_in", "window_size", "hop", "dft_size",
                      "sample_rate", "out_frames", "max_hops_per_chunk",
                      "chunk_out", "li_row", "mix_row"))
-def _streamed_scan(xs, i0, li_s, mix_s, valid_s, *, chunk_op, n_in,
+def _streamed_scan(xs, plan, mix_s, *, chunk_op, n_in,
                    window_size, hop, dft_size, sample_rate, out_frames,
                    max_hops_per_chunk, chunk_out, li_row=None,
                    mix_row=None):
-    """xs: [n_in, C, N] stacked inputs (equal shape). The remap plan
-    (i0 per chunk; li/mix/valid per output frame) is computed host-side
-    in numpy by streamed_pv_process — jnp.searchsorted is pathologically
-    slow on this backend (CLAUDE.md) and the plan depends only on the
-    host time_map. When every chunk shares one remap pattern (constant
-    factor or identity maps — including the headline), li_row/mix_row
-    carry it as STATIC tuples instead: the per-chunk remap gather then
-    has compile-time indices, which XLA lowers to static
-    slice/select networks instead of a dynamic gather (measured: the
-    dynamic remap gather was ~31% of the whole headline pipeline,
-    tools/profile_headline_stages.py no_remap)."""
+    """xs: [n_in, C, N] stacked inputs (equal shape). The remap plan is
+    computed host-side in numpy by streamed_pv_process
+    (jnp.searchsorted is pathologically slow on this backend, CLAUDE.md)
+    and arrives PACKED as one int32 array — every jit argument is its
+    own host->device round trip for eager callers (~6 ms each,
+    CLAUDE.md), so `plan` carries [nchunks, 1 + chunk (+ chunk)]:
+    column 0 = i0, then the per-frame valid mask, then (dynamic-path
+    only) the per-frame li indices; mix_s is the one f32 array (None on
+    the static path). When every chunk shares one remap pattern
+    (constant factor or identity maps — including the headline),
+    li_row/mix_row carry it as STATIC tuples instead: the per-chunk
+    remap gather then has compile-time indices, which XLA lowers to
+    static slice/select networks instead of a dynamic gather."""
     _, c, n = xs.shape
     nbins = dft_size // 2 + 1
     analysis_rate = sample_rate / hop
@@ -82,6 +84,9 @@ def _streamed_scan(xs, i0, li_s, mix_s, valid_s, *, chunk_op, n_in,
     if uniform:
         li_const = np.asarray(li_row, np.int32)          # [chunk_out]
         mix_const = jnp.asarray(np.asarray(mix_row, np.float32))
+    i0 = plan[:, 0]
+    valid_s = plan[:, 1:1 + chunk_out] != 0
+    li_s = None if uniform else plan[:, 1 + chunk_out:]
 
     left_pad = wpad + hop
     span_len = (H + wblocks + 1) * hop
@@ -277,14 +282,22 @@ def streamed_pv_process(xs: Sequence[jnp.ndarray],
             li_row = tuple(int(v) for v in li_u[ref])
             mix_row = tuple(float(v) for v in mix_s[ref])
             i0 = i0_u.astype(np.int32)
+    # pack the int32 plan pieces into ONE device transfer: every jit
+    # argument is its own host->device round trip for eager callers
+    # (~6 ms each through the remote transport, CLAUDE.md)
     if li_row is not None:
-        li_arg = mix_arg = None
+        plan = np.concatenate(
+            [i0[:, None].astype(np.int32), valid_s.astype(np.int32)],
+            axis=1)
+        mix_arg = None
     else:
-        li_arg = jnp.asarray(li)
+        plan = np.concatenate(
+            [i0[:, None].astype(np.int32), valid_s.astype(np.int32), li],
+            axis=1)
         mix_arg = jnp.asarray(mix_s)
 
     return _streamed_scan(
-        stacked, jnp.asarray(i0), li_arg, mix_arg, jnp.asarray(valid_s),
+        stacked, jnp.asarray(plan.astype(np.int32)), mix_arg,
         chunk_op=chunk_op, n_in=len(xs), window_size=window_size, hop=hop,
         dft_size=dft_size, sample_rate=float(sample_rate),
         out_frames=out_frames, max_hops_per_chunk=max_hops,
