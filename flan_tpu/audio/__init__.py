@@ -59,6 +59,15 @@ _bind(_filters, [
     "filter_1pole_multinotch", "filter_2pole_multinotch", "filter_comb",
     "halfband_modulate", "shift_frequency", "halfband_multiply",
 ])
+def _convert_to_spectrum(self):
+    """Whole-signal complex spectrum (Spectrum.from_audio); the
+    reference forward-declares Spectrum on Audio (Audio.h:12) but its
+    Spectrum layer is dormant - activated here, see flan_tpu/spectrum.py."""
+    from flan_tpu.spectrum import Spectrum
+    return Spectrum.from_audio(self)
+
+
+Audio.convert_to_spectrum = _convert_to_spectrum
 Audio.convert_to_graph = _graphing.audio_convert_to_graph
 Audio.save_to_bmp = _graphing.audio_save_to_bmp
 Audio.convert_to_spectrum_graph = _graphing.audio_convert_to_spectrum_graph
