@@ -34,8 +34,18 @@ class Function:
             self._const = None
             self._fn = f
         else:
-            self._const = float(f)
-            self._fn = None
+            try:
+                self._const = float(f)
+                self._fn = None
+            except jax.errors.ConcretizationTypeError:
+                # a traced scalar (a parameter under jax.grad/jit)
+                # cannot be concretized; treat it as a time-varying
+                # callable so algorithms take their general sampled
+                # path, which is traced and therefore differentiable
+                # in the parameter
+                self._const = None
+                self._fn = lambda x, _v=f: jnp.broadcast_to(
+                    jnp.asarray(_v, jnp.float32), jnp.shape(x))
 
     @property
     def is_constant(self) -> bool:
@@ -124,8 +134,16 @@ class Function2d:
             self._const = None
             self._fn = f
         else:
-            self._const = float(f)
-            self._fn = None
+            try:
+                self._const = float(f)
+                self._fn = None
+            except jax.errors.ConcretizationTypeError:
+                # traced scalar parameter: same differentiable fallback
+                # as Function above
+                self._const = None
+                self._fn = lambda t, fr, _v=f: jnp.broadcast_to(
+                    jnp.asarray(_v, jnp.float32),
+                    jnp.broadcast_shapes(jnp.shape(t), jnp.shape(fr)))
 
     @property
     def is_constant(self) -> bool:
