@@ -104,9 +104,13 @@ def _encode_samples(data: np.ndarray, fmt_tag: int, bits: int) -> bytes:
         return out.tobytes()
     if bits == 32:
         # scale by 2^31 with clamp, matching flan_native.cpp so both
-        # encoder paths produce byte-identical files
-        q = np.clip(np.round(clipped * float(1 << 31)), -(2.0 ** 31),
-                    (1 << 31) - 1).astype("<i4")
+        # encoder paths produce byte-identical files. The clamp must run
+        # in float64: 2^31-1 is not representable in float32, so a
+        # float32 clip rounds back up to 2^31 and the int32 cast wraps
+        # +1.0 to INT32_MIN (a full-scale sign flip, caught by
+        # tests/test_native_equivalence.py)
+        q = np.clip(np.round(clipped.astype(np.float64) * float(1 << 31)),
+                    -(2.0 ** 31), (1 << 31) - 1).astype("<i4")
         return q.tobytes()
     raise ValueError(f"Unsupported write bit depth: {bits}")
 
