@@ -420,7 +420,34 @@ def main():
             except Exception as e:
                 print(json.dumps({"metric": fn, "error": str(e)}),
                       file=sys.stderr)
-    print(json.dumps(bench_headline()))
+    # headline with bounded retry: the TPU pool has real outages where a
+    # client blocks in init and then fails UNAVAILABLE (docs/NEXT.md), and
+    # a failed backend init poisons the process - so every attempt runs in
+    # a fresh subprocess, and the last error still emits a parseable line.
+    import os
+    import subprocess
+    import time as _time
+    last_err = ""
+    for attempt, tmo in enumerate((900, 600, 600)):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one",
+                 "bench_headline"], capture_output=True, text=True,
+                timeout=tmo, cwd=os.path.dirname(os.path.abspath(__file__)))
+            out = r.stdout.strip().splitlines()
+            if r.returncode == 0 and out:
+                print(out[-1])
+                return
+            last_err = (r.stderr or "")[-300:]
+        except Exception as e:
+            last_err = str(e)
+        print(json.dumps({"event": "headline_retry", "attempt": attempt,
+                          "error": last_err[-200:]}), file=sys.stderr)
+        _time.sleep(30)
+    print(json.dumps({
+        "metric": "pv_stretch_x_realtime_10min_stereo_48k", "value": 0,
+        "unit": "x_realtime", "vs_baseline": 0.0,
+        "error": "TPU backend unavailable after 3 attempts: " + last_err}))
 
 
 if __name__ == "__main__":
