@@ -28,28 +28,46 @@ def parabolic_interpolation(y0, y1, y2, x1):
 def find_peaks(data: np.ndarray, max_peaks: int = -1,
                amp_order: bool = False, interpolate: bool = True
                ) -> np.ndarray:
-    """Local maxima of a 1-D array -> [(x, y)] (reference
-    DSPUtility.cpp:57-135). Host-side numpy (control-plane data)."""
+    """Local maxima of a 1-D array -> [(x, y)], reference semantics
+    (DSPUtility.cpp:55-131, golden-tested in
+    tests/test_dsp_reference_golden.py): a point is a peak iff equal
+    values extend to a STRICTLY lower neighbor on both sides (a flat
+    shoulder on a rising slope is not a peak, and a plateau at the
+    array edge is not a peak); a plateau of equal values emits ONE
+    entry at its center, x = (left+right)/2 when interpolating, y
+    uninterpolated. Host-side numpy over run-length-encoded equal runs
+    instead of the reference's per-frame walker."""
     d = np.asarray(data, np.float64)
     n = len(d)
     if n < 3:
         return np.zeros((0, 2))
-    mid = d[1:-1]
-    is_peak = (mid > d[:-2]) & (mid >= d[2:])
-    idx = np.nonzero(is_peak)[0] + 1
-    if interpolate and len(idx):
-        y0, y1, y2 = d[idx - 1], d[idx], d[idx + 1]
-        denom = y0 - 2 * y1 + y2
+    # run-length encode equal-value runs: starts[k]..ends[k] inclusive
+    change = np.nonzero(np.diff(d) != 0.0)[0]
+    starts = np.concatenate([[0], change + 1])
+    ends = np.concatenate([change, [n - 1]])
+    vals = d[starts]
+    interior = (starts > 0) & (ends < n - 1)
+    is_peak = np.zeros(len(starts), bool)
+    is_peak[interior] = (d[starts[interior] - 1] < vals[interior]) & (
+        d[ends[interior] + 1] < vals[interior])
+    s, e, v = starts[is_peak], ends[is_peak], vals[is_peak]
+    plateau = e > s                      # run length >= 2
+    frame = np.where(plateau, (s + e) // 2, s)  # floor((l+r)/2) == (s+e)//2
+    if interpolate:
+        # non-plateau: parabolic vertex; plateau: exact center (may be .5)
+        y0 = d[np.maximum(frame - 1, 0)]
+        y2 = d[np.minimum(frame + 1, n - 1)]
+        denom = y0 - 2 * v + y2
         delta = np.where(np.abs(denom) > 1e-12, 0.5 * (y0 - y2) / denom,
                          0.0)
-        xs = idx + delta
-        ys = y1 - 0.25 * (y0 - y2) * delta
+        xs = np.where(plateau, (s - 1 + e + 1) / 2.0, frame + delta)
+        ys = np.where(plateau, v, v - 0.25 * (y0 - y2) * delta)
     else:
-        xs = idx.astype(np.float64)
-        ys = d[idx]
+        xs = frame.astype(np.float64)
+        ys = v
     peaks = np.stack([xs, ys], axis=-1)
     if amp_order:
-        peaks = peaks[np.argsort(-peaks[:, 1])]
+        peaks = peaks[np.argsort(-peaks[:, 1], kind="stable")]
     if max_peaks != -1:
         peaks = peaks[:max_peaks]
     return peaks

@@ -82,7 +82,10 @@ def get_salience(self, channel: int, min_frequency: float = 55.0,
     freq = self.freq[channel]
     f_cnt, b_cnt = mag.shape
 
-    # strict local maxima (reference uses find_peaks without interpolation)
+    # strict local maxima (reference uses find_peaks without
+    # interpolation; its walker's plateau handling is irrelevant here -
+    # exactly-equal adjacent float magnitudes in a real spectrum are
+    # measure-zero, so the cheap 3-point device test suffices)
     mid = mag[:, 1:-1]
     is_peak = (mid > mag[:, :-2]) & (mid >= mag[:, 2:])
     peak_mask = jnp.pad(is_peak, [(0, 0), (1, 1)])

@@ -18,6 +18,7 @@ g++ -std=c++20 -O2 -I "$REF/src" \
     "$REF/src/flan/Utility/Interval.cpp" \
     "$REF/src/flan/Utility/Rect.cpp" \
     "$REF/src/flan/defines.cpp" \
-    -o "$BUILD/gen_fixtures"
+    "$REF/src/flan/DSPUtility.cpp" \
+    -ltbb -o "$BUILD/gen_fixtures"
 "$BUILD/gen_fixtures" "$OUT"
 ls -la "$OUT"

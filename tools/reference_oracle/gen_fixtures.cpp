@@ -38,6 +38,7 @@
 #include "flan/phase_vocoder.h"
 #include "flan/WindowFunctions.h"
 #include "flan/PV/PVBuffer.h"
+#include "flan/DSPUtility.h"
 
 using namespace flan;
 
@@ -279,6 +280,71 @@ int main(int argc, char** argv) {
         PVBuffer loaded(dir + "codec.flan");
         dump_pv_planes(loaded, dir + "codec_loaded_mag.f32",
                        dir + "codec_loaded_freq.f32");
+    }
+
+    // --- DSPUtility + defines goldens (DSPUtility.cpp:37-53,115-190,
+    //     defines.cpp:5-6) -------------------------------------------------
+    {
+        // parabolic interpolation on awkward triples including a nearly
+        // flat one (y0 - 2 y1 + y2 ~ 0) and asymmetric slopes
+        const float quads[][4] = {
+            {0.5f, 1.0f, 0.25f, 7},  {1.0f, 1.0f, 0.999999f, 3},
+            {-2.0f, 0.5f, -1.0f, 0}, {0.1f, 0.9f, 0.85f, 100},
+            {3.0f, 3.5f, 3.25f, 55},
+        };
+        std::vector<float> par;
+        for (const auto& q : quads) {
+            const auto xy =
+                parabolic_interpolation(q[0], q[1], q[2], (int)q[3]);
+            par.push_back(xy.first);
+            par.push_back(xy.second);
+        }
+        dump_f32(dir + "dsp_parabolic.f32", par.data(), par.size());
+
+        // dB <-> amplitude over a grid (pure float math, defines.cpp:5-6)
+        std::vector<float> db_amp;
+        for (int i = -120; i <= 40; i += 7)
+            db_amp.push_back(decibel_to_amplitude((float)i));
+        for (float a : {1e-6f, 0.001f, 0.5f, 1.0f, 2.0f, 31.623f})
+            db_amp.push_back(amplitude_to_decibel(a));
+        dump_f32(dir + "dsp_db_amp.f32", db_amp.data(), db_amp.size());
+
+        // find_peaks / find_valleys on a deterministic bumpy signal:
+        // reference walker with plateau handling + parabolic refinement
+        const int np = 96;
+        std::vector<float> bumpy(np);
+        for (int i = 0; i < np; ++i)
+            bumpy[i] = (float)(std::sin(2.0 * M_PI * i / 19.0) +
+                               0.4 * std::sin(2.0 * M_PI * i / 7.3 + 1.0));
+        // plateau cases: a shoulder on a rising slope (not a peak) and a
+        // genuine plateau peak (one entry at the center)
+        bumpy[40] = bumpy[41] = bumpy[39];
+        const float pk = std::max({bumpy[58], bumpy[62]}) + 0.25f;
+        bumpy[59] = bumpy[60] = bumpy[61] = pk;
+        dump_f32(dir + "dsp_bumpy.f32", bumpy.data(), bumpy.size());
+        for (const bool interp : {false, true}) {
+            const auto peaks = find_peaks(bumpy, -1, false, interp);
+            const auto valleys = find_valleys(bumpy, -1, false, interp);
+            std::vector<float> pk;
+            for (const auto& p : peaks) {
+                pk.push_back(p.x());
+                pk.push_back(p.y());
+            }
+            std::vector<float> vl;
+            for (const auto& v : valleys) {
+                vl.push_back(v.x());
+                vl.push_back(v.y());
+            }
+            const std::string sfx = interp ? "_interp" : "_raw";
+            dump_f32(dir + "dsp_peaks" + sfx + ".f32", pk.data(), pk.size());
+            dump_f32(dir + "dsp_valleys" + sfx + ".f32", vl.data(),
+                     vl.size());
+        }
+
+        // mean_and_sd (population sd, DSPUtility.cpp tail)
+        const vec2 ms = mean_and_sd(bumpy);
+        const float msv[2] = {ms.x(), ms.y()};
+        dump_f32(dir + "dsp_mean_sd.f32", msv, 2);
     }
 
     std::printf("fixtures written to %s\n", dir.c_str());
