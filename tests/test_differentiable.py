@@ -176,3 +176,20 @@ def test_grad_in_algorithm_parameter_2d():
     # the traced-parameter run (val) must match the constant-param run
     const = float(loss(0.05))
     assert abs(float(val) - const) <= 1e-5 * max(abs(const), 1.0)
+
+
+def test_jit_with_traced_parameter_matches_eager_constant():
+    """Users can jit library calls with the parameter as an ARGUMENT
+    (re-running different cutoffs without retracing): the traced scalar
+    takes the sampled path and must match the eager constant run."""
+    from flan_tpu.audio import Audio
+    x = _sine()
+    a = Audio.create_from_array(x, SR)
+
+    fj = jax.jit(lambda c: a.filter_2pole_lowpass(c, 0.7).data)
+    eager = np.asarray(a.filter_2pole_lowpass(800.0, 0.7).data)
+    np.testing.assert_allclose(np.asarray(fj(jnp.float32(800.0))), eager,
+                               atol=2e-5)
+    # second cutoff reuses the compiled program (no retrace crash)
+    out2 = np.asarray(fj(jnp.float32(1600.0)))
+    assert not np.allclose(out2, eager)
