@@ -151,6 +151,14 @@ def main(argv=None, cancel=None) -> int:
     p.add_argument("out_dir")
     p.add_argument("inputs", nargs="+")
 
+    p = sub.add_parser(
+        "eq", help="whole-signal spectral EQ (Spectrum.multiply): "
+                   "brick-wall band-pass between --low and --high Hz")
+    p.add_argument("--low", type=float, default=0.0)
+    p.add_argument("--high", type=float, default=1e9)
+    p.add_argument("out_dir")
+    p.add_argument("inputs", nargs="+")
+
     p = sub.add_parser("stereo-delay",
                        help="cross-feedback stereo delay (stereo inputs)")
     p.add_argument("--length", type=float, required=True,
@@ -227,6 +235,22 @@ def main(argv=None, cancel=None) -> int:
                 args.length, args.grains_per_second, args.scatter,
                 lambda t: rate * t, args.grain_length, args.fade,
                 seed=args.seed))
+        _save_all(rendered, args.inputs, args.out_dir)
+    elif args.cmd == "eq":
+        import numpy as np
+        from flan_tpu.spectrum import Spectrum
+        clips = _load(args.inputs)
+        rendered = []
+        for c in clips:
+            if cancel is not None:
+                cancel.check()
+            spec = c.convert_to_spectrum()
+            n = 2 * (spec.num_bins - 1)
+            f = np.arange(spec.num_bins) * (c.sample_rate / n)
+            mask = ((f >= args.low) & (f <= args.high)).astype(np.complex64)
+            rendered.append(spec.multiply(
+                Spectrum(data=mask[None],
+                         sample_rate=c.sample_rate)).convert_to_audio())
         _save_all(rendered, args.inputs, args.out_dir)
     elif args.cmd == "stereo-delay":
         clips = _load(args.inputs)

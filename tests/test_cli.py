@@ -179,3 +179,23 @@ def test_cli_convolve_granulate_stereo_delay(tmp_path):
     with pytest.raises(SystemExit):
         main(["stereo-delay", "--length", "1.0", "--l-time", "0.05",
               "--r-time", "0.08", str(tmp_path / "x"), mono])
+
+
+def test_cli_eq_bandpass(tmp_path):
+    import numpy as np
+    from flan_tpu import Audio
+    from flan_tpu.cli import main
+    sr = 8000.0
+    t = np.arange(8192, dtype=np.float32) / sr
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)
+         + 0.4 * np.sin(2 * np.pi * 2500 * t)).astype(np.float32)
+    p = str(tmp_path / "in.wav")
+    Audio.create_from_array(x[None], sr).save_to_file(p)
+    out_dir = str(tmp_path / "out")
+    assert main(["eq", "--low", "100", "--high", "1000", out_dir, p]) == 0
+    y = np.asarray(Audio.load_from_file(out_dir + "/in.wav").data)
+    f = np.fft.rfftfreq(y.shape[-1], 1 / sr)
+    mag = np.abs(np.fft.rfft(y[0]))
+    keep = mag[np.argmin(abs(f - 440))]
+    kill = mag[np.argmin(abs(f - 2500))]
+    assert keep > 100 * max(kill, 1e-9)
