@@ -159,6 +159,16 @@ def main(argv=None, cancel=None) -> int:
     p.add_argument("out_dir")
     p.add_argument("inputs", nargs="+")
 
+    p = sub.add_parser(
+        "wavetable", help="pitch-tracked wavetable resynthesis: extract a "
+                          "table from each input, replay at --freq Hz "
+                          "scanning the table over the output")
+    p.add_argument("--length", type=float, required=True,
+                   help="output length, seconds")
+    p.add_argument("--freq", type=float, default=110.0)
+    p.add_argument("out_dir")
+    p.add_argument("inputs", nargs="+")
+
     p = sub.add_parser("stereo-delay",
                        help="cross-feedback stereo delay (stereo inputs)")
     p.add_argument("--length", type=float, required=True,
@@ -251,6 +261,22 @@ def main(argv=None, cancel=None) -> int:
             rendered.append(spec.multiply(
                 Spectrum(data=mask[None],
                          sample_rate=c.sample_rate)).convert_to_audio())
+        _save_all(rendered, args.inputs, args.out_dir)
+    elif args.cmd == "wavetable":
+        from flan_tpu.wavetable import Wavetable
+        clips = _load(args.inputs)
+        rendered = []
+        for c in clips:
+            if cancel is not None:
+                cancel.check()
+            wt = Wavetable(c)
+            if wt.is_null():
+                raise SystemExit("wavetable extraction found no waveforms "
+                                 "(input too short or unpitched)")
+            nw = max(wt.get_num_waveforms() - 1, 0)
+            rendered.append(wt.synthesize(
+                args.length, args.freq,
+                lambda t, _n=nw, _l=args.length: _n * t / _l))
         _save_all(rendered, args.inputs, args.out_dir)
     elif args.cmd == "stereo-delay":
         clips = _load(args.inputs)

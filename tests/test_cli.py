@@ -199,3 +199,26 @@ def test_cli_eq_bandpass(tmp_path):
     keep = mag[np.argmin(abs(f - 440))]
     kill = mag[np.argmin(abs(f - 2500))]
     assert keep > 100 * max(kill, 1e-9)
+
+
+def test_cli_wavetable(tmp_path):
+    import numpy as np
+    from flan_tpu import Audio
+    from flan_tpu.cli import main
+    sr = 8000.0
+    t = np.arange(int(sr), dtype=np.float32) / sr
+    # evolving pitched tone so the table has multiple distinct waves
+    x = (0.5 * np.sin(2 * np.pi * 220 * t)
+         + 0.2 * np.sin(2 * np.pi * 440 * t) * t).astype(np.float32)
+    p = str(tmp_path / "in.wav")
+    Audio.create_from_array(x[None], sr).save_to_file(p)
+    out_dir = str(tmp_path / "out")
+    assert main(["wavetable", "--length", "0.5", "--freq", "110",
+                 out_dir, p]) == 0
+    y = np.asarray(Audio.load_from_file(out_dir + "/in.wav").data)
+    assert y.shape[-1] == int(0.5 * sr)
+    f = np.fft.rfftfreq(y.shape[-1], 1 / sr)
+    mag = np.abs(np.fft.rfft(y[0]))
+    dom = f[np.argmax(mag)]
+    # dominant output frequency tracks --freq (within a harmonic's slack)
+    assert 80 < dom < 260, dom
