@@ -394,7 +394,27 @@ def bench_morph():
     }
 
 
+_LAST_GOOD = "BENCH_LAST_GOOD.json"
+
+
+def _bench_env():
+    """Subprocess env with the persistent jax compilation cache enabled so
+    a post-outage attempt skips the minutes-long remote compile (VERDICT
+    round 3 item 1). The cache dir lives in the repo (gitignored) so it
+    survives across bench invocations on the same box."""
+    import os
+    env = dict(os.environ)
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    return env
+
+
 def main():
+    import os
+    here = os.path.dirname(os.path.abspath(__file__))
     if "--one" in sys.argv:
         # run a single named config (used by --all's subprocess isolation)
         name = sys.argv[sys.argv.index("--one") + 1]
@@ -403,7 +423,6 @@ def main():
     if "--all" in sys.argv:
         # a lowering failure poisons subsequent dispatches through the
         # remote backend, so each config gets its own process
-        import os
         import subprocess
         for fn in ("bench_roundtrip", "bench_resample_filter",
                    "bench_convolve_texture", "bench_morph", "bench_repitch",
@@ -412,7 +431,7 @@ def main():
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--one",
                      fn], capture_output=True, text=True, timeout=1800,
-                    cwd=os.path.dirname(os.path.abspath(__file__)))
+                    cwd=here, env=_bench_env())
                 out = r.stdout.strip().splitlines()
                 print(out[-1] if out else json.dumps(
                     {"metric": fn, "error": r.stderr[-200:]}),
@@ -420,34 +439,52 @@ def main():
             except Exception as e:
                 print(json.dumps({"metric": fn, "error": str(e)}),
                       file=sys.stderr)
-    # headline with bounded retry: the TPU pool has real outages where a
-    # client blocks in init and then fails UNAVAILABLE (docs/NEXT.md), and
-    # a failed backend init poisons the process - so every attempt runs in
-    # a fresh subprocess, and the last error still emits a parseable line.
-    import os
+    # Headline with a bounded retry that FITS THE DRIVER WINDOW (round 3
+    # lesson: the 900/600/600 ladder exceeded it and an outage yielded
+    # nothing - BENCH_r03.json rc=124). Two attempts, ~5 min each; every
+    # attempt runs in a fresh subprocess because a failed backend init
+    # poisons the process. On success the value is also written to
+    # BENCH_LAST_GOOD.json; on final failure the last committed good value
+    # is re-emitted marked "stale": true instead of a useless 0.
     import subprocess
     import time as _time
     last_err = ""
-    for attempt, tmo in enumerate((900, 600, 600)):
+    for attempt, tmo in enumerate((300, 300)):
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one",
                  "bench_headline"], capture_output=True, text=True,
-                timeout=tmo, cwd=os.path.dirname(os.path.abspath(__file__)))
+                timeout=tmo, cwd=here, env=_bench_env())
             out = r.stdout.strip().splitlines()
             if r.returncode == 0 and out:
-                print(out[-1])
+                line = out[-1]
+                print(line)
+                try:
+                    with open(os.path.join(here, _LAST_GOOD), "w") as f:
+                        f.write(line + "\n")
+                except OSError:
+                    pass
                 return
             last_err = (r.stderr or "")[-300:]
         except Exception as e:
             last_err = str(e)
         print(json.dumps({"event": "headline_retry", "attempt": attempt,
                           "error": last_err[-200:]}), file=sys.stderr)
-        _time.sleep(30)
+        _time.sleep(15)
+    try:
+        with open(os.path.join(here, _LAST_GOOD)) as f:
+            stale = json.loads(f.read())
+        stale["stale"] = True
+        stale["error"] = ("TPU backend unavailable; last good value "
+                          "re-emitted: " + last_err[-150:])
+        print(json.dumps(stale))
+        return
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "pv_stretch_x_realtime_10min_stereo_48k", "value": 0,
         "unit": "x_realtime", "vs_baseline": 0.0,
-        "error": "TPU backend unavailable after 3 attempts: " + last_err}))
+        "error": "TPU backend unavailable after 2 attempts: " + last_err}))
 
 
 if __name__ == "__main__":
