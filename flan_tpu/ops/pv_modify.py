@@ -63,18 +63,33 @@ def modify_time_gather(mag: jnp.ndarray, freq: jnp.ndarray,
     idx, valid = jax.vmap(_pair_lookup, in_axes=(1, None))(time_map, xs)
     bm = time_map.shape[1]
 
+    def _zero_abort(l, r, m_l, m_r):
+        """Reference zero-abort quirk (PVModify.cpp:350-351): the spread
+        loop RETURNS at the first x whose totalWeight == 0, leaving the
+        rest of the pair span unwritten. For linear-family interps
+        (interp(0)==0) and non-negative magnitudes the blend is monotone in
+        x, so weight 0 can only occur at the first tested x = max(ceil(l),
+        0) - the whole span is killed iff the weight there is 0."""
+        fx = jnp.maximum(jnp.ceil(l), 0.0)
+        mix0 = interp(jnp.clip((fx - l) / jnp.where(r == l, 1.0, r - l),
+                               0.0, 1.0))
+        return (1.0 - mix0) * m_l + mix0 * m_r == 0.0
+
     def gather_bin(map_col, idx_col, valid_col, mag_cb, freq_cb):
         # map_col [F], idx_col [X], mag_cb/freq_cb [C, F]
         l = map_col[idx_col - 1]
         r = map_col[idx_col]
         mix = interp(jnp.clip((xs - l) / jnp.where(r == l, 1.0, r - l),
                               0.0, 1.0))
-        w0 = (1.0 - mix)[None, :] * mag_cb[:, idx_col - 1]
-        w1 = mix[None, :] * mag_cb[:, idx_col]
+        m_l = mag_cb[:, idx_col - 1]
+        m_r = mag_cb[:, idx_col]
+        w0 = (1.0 - mix)[None, :] * m_l
+        w1 = mix[None, :] * m_r
         total = w0 + w1
         fsum = w0 * freq_cb[:, idx_col - 1] + w1 * freq_cb[:, idx_col]
-        out_m = jnp.where(valid_col[None, :], total, 0.0)
-        out_f = jnp.where(valid_col[None, :] & (total > 0.0),
+        live = valid_col[None, :] & ~_zero_abort(l, r, m_l, m_r)
+        out_m = jnp.where(live, total, 0.0)
+        out_f = jnp.where(live & (total > 0.0),
                           fsum / jnp.where(total > 0.0, total, 1.0), 0.0)
         return out_m, out_f  # [C, X]
 
@@ -86,13 +101,16 @@ def modify_time_gather(mag: jnp.ndarray, freq: jnp.ndarray,
                               0.0, 1.0))
         i0 = idx[0] - 1
         i1 = idx[0]
-        w0 = (1.0 - mix)[None, :, None] * mag[:, i0, :]
-        w1 = mix[None, :, None] * mag[:, i1, :]
+        m_l = mag[:, i0, :]
+        m_r = mag[:, i1, :]
+        w0 = (1.0 - mix)[None, :, None] * m_l
+        w1 = mix[None, :, None] * m_r
         total = w0 + w1
         fsum = w0 * freq[:, i0, :] + w1 * freq[:, i1, :]
-        v = valid[0][None, :, None]
-        out_mag = jnp.where(v, total, 0.0)
-        out_freq = jnp.where(v & (total > 0.0),
+        live = valid[0][None, :, None] & ~_zero_abort(
+            l[None, :, None], r[None, :, None], m_l, m_r)
+        out_mag = jnp.where(live, total, 0.0)
+        out_freq = jnp.where(live & (total > 0.0),
                              fsum / jnp.where(total > 0.0, total, 1.0), 0.0)
         return out_mag, out_freq
 
@@ -132,19 +150,29 @@ def modify_frequency_gather_const(mag: jnp.ndarray, freq: jnp.ndarray,
     hi = bin_map[idx]
     mix = np.clip((ys - lo) / np.where(hi == lo, 1.0, hi - lo), 0.0, 1.0)
     mix_j = jnp.asarray(mix.astype(np.float32))
-    valid_j = jnp.asarray(valid)
     idx_lo = idx - 1                     # python ints -> static gathers
     clamp_hi = (b - 1 - 1e-4) * bin_width
+
+    # end-clamp quirk: end_bin = clamp(ceil(hiBin), 0, B-1) with a y != end
+    # loop means the TOP bin is never written in forward mode
+    # (PVModify.cpp:224-230); golden-verified in tests/test_algo_golden.py.
+    valid &= ys < b - 1
 
     freq_mod = f32 * (jnp.clip(freq, 0.0, clamp_hi) + np.float32(bin_width))
     m_lo = mag[..., idx_lo]
     m_hi = mag[..., idx]
     w0 = (1.0 - mix_j) * m_lo
     w1 = mix_j * m_hi
-    pick_lo = w0 >= w1
+    # the reference's ternary is INVERTED vs its own MIMM comment: w0 < w1
+    # picks loMF (PVModify.cpp:237), i.e. the SMALLER-weight endpoint wins.
+    # Golden-verified against the compiled reference; preserved bug-for-bug.
+    pick_lo = w0 < w1
     out_m = jnp.where(pick_lo, m_lo, m_hi)
     out_f = jnp.where(pick_lo, freq_mod[..., idx_lo], freq_mod[..., idx])
-    return (jnp.where(valid_j, out_m, 0.0), jnp.where(valid_j, out_f, 0.0))
+    # a write only happens when the picked endpoint magnitude beats the
+    # (zero-initialized) output: m must be strictly positive
+    live = jnp.asarray(valid)[None] & (out_m > 0.0)
+    return (jnp.where(live, out_m, 0.0), jnp.where(live, out_f, 0.0))
 
 
 @functools.partial(jax.jit, static_argnames=("interp",))
@@ -178,8 +206,14 @@ def modify_frequency_gather(mag: jnp.ndarray, freq_modified: jnp.ndarray,
 
     w0 = (1.0 - mix)[None] * m_lo
     w1 = mix[None] * m_hi
-    pick_lo = w0 >= w1
+    # INVERTED ternary quirk: the reference picks loMF when w0 < w1
+    # (PVModify.cpp:237, the smaller-weight endpoint) - preserved
+    # bug-for-bug, golden-verified in tests/test_algo_golden.py.
+    pick_lo = w0 < w1
     out_m = jnp.where(pick_lo, m_lo, m_hi)
     out_f = jnp.where(pick_lo, f_lo, f_hi)
-    v = valid[None]
+    # end-clamp quirk: the top bin is never written in forward mode
+    # (end_bin clamps to B-1 and the loop is y != end, PVModify.cpp:224-230)
+    # and a write requires the picked magnitude to beat the zero init.
+    v = valid[None] & (ys < b - 1)[None] & (out_m > 0.0)
     return jnp.where(v, out_m, 0.0), jnp.where(v, out_f, 0.0)

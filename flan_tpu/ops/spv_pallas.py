@@ -135,19 +135,27 @@ def _fwd_kernel(x_ref, twre_ref, twim_ref, mag_ref, freq_ref,
     f_re = s_re * wn_re + s_im * wn_im
     f_im = s_im * wn_re - s_re * wn_im
 
-    # 3-tap hann spectral convolution (AudioSPV.cpp:65-92); the edge
-    # reflection uses real parts on both planes
+    # 3-tap hann spectral convolution (AudioSPV.cpp:65-92). Edge semantics
+    # golden-tested vs the compiled reference (tests/test_algo_golden.py):
+    # at bin 0 BOTH neighbor taps collapse to 2*Re(f[1]) (bStart,
+    # AudioSPV.cpp:71-74) and at bin B-1 to 2*Re(f[B-2]) (bEnd, :85-89) -
+    # the natural complex neighbor is NOT also subtracted.
     col = jax.lax.broadcasted_iota(jnp.int32, (_F, nbins), 1)
     edge_l = 2.0 * f_re[:, 1:2]
     edge_r = 2.0 * f_re[:, nbins - 2:nbins - 1]
     inv = jnp.float32(0.25 / two_b)
 
-    left_re = jnp.where(col == 0, edge_l, _shift_bins(f_re, +1))
-    right_re = jnp.where(col == nbins - 1, edge_r, _shift_bins(f_re, -1))
+    left_re = jnp.where(col == 0, edge_l,
+                        jnp.where(col == nbins - 1, jnp.float32(0.0),
+                                  _shift_bins(f_re, +1)))
+    right_re = jnp.where(col == nbins - 1, edge_r,
+                         jnp.where(col == 0, jnp.float32(0.0),
+                                   _shift_bins(f_re, -1)))
     conv_re = (2.0 * f_re - left_re - right_re) * inv
 
-    left_im = jnp.where(col == 0, jnp.float32(0.0), _shift_bins(f_im, +1))
-    right_im = jnp.where(col == nbins - 1, jnp.float32(0.0),
+    left_im = jnp.where((col == 0) | (col == nbins - 1), jnp.float32(0.0),
+                        _shift_bins(f_im, +1))
+    right_im = jnp.where((col == nbins - 1) | (col == 0), jnp.float32(0.0),
                          _shift_bins(f_im, -1))
     conv_im = (2.0 * f_im - left_im - right_im) * inv
 

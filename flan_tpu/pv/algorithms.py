@@ -258,40 +258,30 @@ def add_octaves(self, series):
     from flan_tpu.pv.pv import PV
     if self.is_null():
         return PV.create_null()
-    height = self.bin_to_frequency(self.num_bins - 1)
+    # reference: ceil(log2(get_height())) with height = bin_to_frequency(
+    # num_bins) - the full band edge, not the last bin center (PV.cpp:413)
+    height = self.bin_to_frequency(self.num_bins)
     n = int(math.ceil(math.log2(max(height, 2.0))))
     return _harmonic_scaler(self, series,
                             lambda fr, h: fr * (2.0 ** h), n)
 
 
-def add_harmonics(self, series, max_harmonics: Optional[int] = 1200):
-    """(reference PV.cpp:415-419). The harmonic count is derived from the
-    data: the lowest live partial determines how many harmonics can land
-    inside the band, exactly the set the reference's per-MF while loop
-    paints. max_harmonics bounds it (each harmonic is a full-plane scatter
-    pass here, unlike the reference's per-partial loop, so one junk
-    near-zero-frequency bin must not drive thousands of passes). The
-    default 1200 covers every audible fundamental (20 Hz under a 24 kHz
-    band derives 1200), so only sub-audio junk is clipped; pass None to
-    trust the data unconditionally."""
-    import warnings
+def add_harmonics(self, series, max_harmonics: Optional[int] = None):
+    """(reference PV.cpp:415-419). The reference paints exactly num_bins
+    harmonics per partial (harmonic_scaler is called with
+    num_harmonics = get_num_bins(); the per-MF loop also breaks at the
+    band edge, so sub-bin-width partials get *fewer* in-band harmonics
+    than would fit - golden-tested vs the compiled reference in
+    tests/test_algo_golden.py). max_harmonics optionally lowers the pass
+    count (each harmonic is a full-plane scatter pass here)."""
     from flan_tpu.pv.pv import PV
     if self.is_null():
         return PV.create_null()
-    height = self.bin_to_frequency(self.num_bins - 1)
-    live = (self.freq > 1.0) & (self.mag > 0)
-    fmin = float(jnp.min(jnp.where(live, self.freq, jnp.inf)))
-    if not np.isfinite(fmin):
-        return self.copy()
-    derived = max(1, int(np.ceil(height / max(fmin, 1.0))))
-    if max_harmonics is not None and derived > max_harmonics:
-        warnings.warn(
-            f"add_harmonics: derived harmonic count {derived} clipped to "
-            f"max_harmonics={max_harmonics}; partials below "
-            f"{height / max_harmonics:.1f} Hz lose their highest harmonics")
-        derived = max_harmonics
+    n = self.num_bins
+    if max_harmonics is not None:
+        n = min(n, int(max_harmonics))
     return _harmonic_scaler(self, series,
-                            lambda fr, h: fr * (h + 1.0), derived)
+                            lambda fr, h: fr * (h + 1.0), n)
 
 
 def shape(self, shaper, use_shift_alignment: bool = False):

@@ -301,7 +301,10 @@ def modify(self, mod, interp: Callable = interpolators.linear,
     c, f, b = self.mag.shape
     fn = as_function2d(mod) if not callable(mod) else mod
 
-    t = jnp.arange(f, dtype=jnp.float32) / self.analysis_rate
+    # f32 multiply grid exactly as the reference samples it
+    # (Function.h:165-167 x*x_scale); see pv.py modify_time for why
+    t = jnp.arange(f, dtype=jnp.float32) * jnp.float32(1.0
+                                                       / self.analysis_rate)
     fr = jnp.arange(b, dtype=jnp.float32) * self.bin_width
     mapped = fn(t[:, None], fr[None, :])
     if isinstance(mapped, tuple):
@@ -401,7 +404,21 @@ def modify(self, mod, interp: Callable = interpolators.linear,
         ll = (X - a0 - a2 * mm) / jnp.where(jnp.abs(ldenom) > 1e-9,
                                             ldenom, 1.0)
         eps = 1e-4
-        inside = ((jnp.abs(ll - 0.5) <= 0.5 + eps)
+        # Crossing-number inside test, half-open in y exactly as the
+        # reference (PVModify.cpp:100-105): a pixel on a quad's max-y
+        # edge is OUTSIDE (golden-tested: output bins landing exactly on
+        # a mapped edge stay empty). Edge k runs p[k-1]->p[k] with the
+        # intercept anchored at the reference's anchor corner.
+        def _edge(py, qy, ax, ay, dxx, dyy):
+            yr = ((py <= Y) & (Y < qy)) | ((qy <= Y) & (Y < py))
+            icpt = dxx / jnp.where(dyy == 0.0, 1.0, dyy) * (Y - ay) + ax
+            return yr & (X < icpt)
+        cross = (_edge(y00, y01, x00, y00, x00 - x01, y00 - y01)
+                 ^ _edge(y10, y00, x10, y10, x10 - x00, y10 - y00)
+                 ^ _edge(y11, y10, x11, y11, x11 - x10, y11 - y10)
+                 ^ _edge(y01, y11, x01, y01, x01 - x11, y01 - y11))
+        inside = (cross
+                  & (jnp.abs(ll - 0.5) <= 0.5 + eps)
                   & (jnp.abs(mm - 0.5) <= 0.5 + eps)
                   & (disc >= 0))
         iL = interp(jnp.clip(ll, 0.0, 1.0))

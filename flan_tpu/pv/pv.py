@@ -173,8 +173,12 @@ class PV(PVBuffer):
         if self.is_null():
             return PV.create_null()
         fn = as_function2d(mod)
+        # Reference grid: t = frame * (1.0f/analysis_rate) in f32
+        # (Function.h:165-167 x*x_scale) - NOT frame/analysis_rate. The
+        # 1-ulp difference flips the output-size ceil (golden-tested:
+        # 0.001f > 1/1000 exactly makes ceil(46.000002) = 47 frames).
         t = jnp.arange(self.num_frames, dtype=jnp.float32) \
-            / self.analysis_rate
+            * jnp.float32(1.0 / self.analysis_rate)
         if fn.is_constant:
             raise ValueError("modify_time requires a time-dependent mod")
         fr = jnp.arange(self.num_bins, dtype=jnp.float32) * self.bin_width
@@ -203,7 +207,7 @@ class PV(PVBuffer):
                 self.bin_width)
             return self._with(mag=out_mag, freq=out_freq)
         t = jnp.arange(self.num_frames, dtype=jnp.float32) \
-            / self.analysis_rate
+            * jnp.float32(1.0 / self.analysis_rate)
         b = jnp.arange(self.num_bins, dtype=jnp.float32) * self.bin_width
         sampled = jnp.broadcast_to(fn(t[:, None], b[None, :]),
                                    (self.num_frames, self.num_bins))
@@ -238,7 +242,7 @@ class PV(PVBuffer):
             return PV.create_null()
         fn = as_function2d(mod)
         t = jnp.arange(self.num_frames, dtype=jnp.float32) \
-            / self.analysis_rate
+            * jnp.float32(1.0 / self.analysis_rate)
         b = jnp.arange(self.num_bins, dtype=jnp.float32) * self.bin_width
         mapped_hz = jnp.broadcast_to(fn(t[:, None], b[None, :]),
                                      (self.num_frames, self.num_bins))

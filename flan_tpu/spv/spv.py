@@ -216,6 +216,11 @@ def _spv_forward_scan(x, *, nbins: int, sample_rate: float,
         # 3-tap hann spectral convolution (AudioSPV.cpp:65-92); the edge
         # reflection uses real parts (AudioSPV.cpp:71-76, 85-90)
         def stencil(v, is_re):
+            # Edge semantics golden-tested vs the compiled reference
+            # (tests/test_algo_golden.py): at bin 0 BOTH neighbor taps
+            # collapse to the single term 2*Re(f[1]) (AudioSPV.cpp:71-74,
+            # bStart), and at bin B-1 to 2*Re(f[B-2]) (AudioSPV.cpp:85-89,
+            # bEnd) - the natural complex neighbor is NOT also subtracted.
             mid = 2.0 * v
             left = jnp.pad(v, [(0, 0), (0, 0), (1, 0)])[:, :, :nbins]
             right = jnp.pad(v, [(0, 0), (0, 0), (0, 1)])[:, :, 1:]
@@ -224,7 +229,9 @@ def _spv_forward_scan(x, *, nbins: int, sample_rate: float,
             edge_r = 2.0 * f_re[:, :, -2] if is_re else jnp.zeros_like(
                 v[:, :, 0])
             left = left.at[:, :, 0].set(edge_l)
+            right = right.at[:, :, 0].set(0.0)
             right = right.at[:, :, -1].set(edge_r)
+            left = left.at[:, :, -1].set(0.0)
             return 0.25 * (mid - left - right) / two_b
 
         conv_re = stencil(f_re, True)

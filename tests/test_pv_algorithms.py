@@ -150,20 +150,19 @@ def test_general_modify_matches_stretch(sine_pv):
     assert abs(fr[m.argmax()] - 440.0) < 10.0
 
 
-def test_add_harmonics_junk_partial_clips_with_warning(sine_pv):
-    """One junk near-zero-frequency bin must not drive thousands of
-    full-plane scatter passes (round-2 review finding 5)."""
-    import warnings
-    import jax.numpy as jnp
+def test_add_harmonics_pass_count_bounded(sine_pv):
+    """The harmonic count is exactly num_bins like the reference
+    (PV.cpp:418, golden-tested in test_algo_golden.py), so a junk
+    near-zero-frequency bin cannot drive thousands of full-plane scatter
+    passes (round-2 review finding 5); max_harmonics lowers it further."""
     pv = sine_pv
     freq = pv.freq.at[0, 2, 3].set(1.5)   # junk partial at 1.5 Hz
     mag = pv.mag.at[0, 2, 3].set(0.1)
     pv = pv._with(freq=freq, mag=mag)
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        out = pv.add_harmonics(1.0, max_harmonics=32)
-        assert any("clipped" in str(x.message) for x in w)
+    out = pv.add_harmonics(1.0, max_harmonics=32)
     assert not out.is_null()
+    full = pv.add_harmonics(1.0)
+    assert not full.is_null()
 
 
 def test_harmonic_series_per_bin_rejected(sine_pv):
