@@ -45,6 +45,42 @@ from flan_tpu.ops.spv_pallas import _atan2, _interpret, _roll_rows
 
 _F = 128   # frames per tile: one MXU-tile of prefix accumulation
 
+# Prefix-accumulation strategy inside the Mosaic kernels (A/B'd on the
+# real chip, tools/ab_sqpv_kernel.py):
+#   "matmul"  - lower-triangular jnp.dot at `precision` (HIGHEST = 6
+#               MXU passes; the round-3 baseline)
+#   "split3"  - 3-way bf16 mantissa split of the data operand against an
+#               EXACT bf16 0/1 triangle: 3 DEFAULT passes reproduce f32
+#               accuracy at half the HIGHEST pass count
+#   "cumsum"  - log2(F) masked pltpu.roll shift-adds on the VPU; no MXU
+_PREFIX_MODE = "matmul"
+
+
+def _prefix_f(v, tri, precision, mode):
+    """Inclusive prefix sum of v [F, Bp] along axis 0 (rows)."""
+    if mode == "matmul":
+        return jnp.dot(tri, v, preferred_element_type=jnp.float32,
+                       precision=precision)
+    if mode == "split3":
+        tri16 = tri.astype(jnp.bfloat16)      # 0/1: exact in bf16
+        hi = v.astype(jnp.bfloat16)
+        rem = v - hi.astype(jnp.float32)
+        mid = rem.astype(jnp.bfloat16)
+        lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jnp.dot(tri16, hi, preferred_element_type=jnp.float32)
+        acc += jnp.dot(tri16, mid, preferred_element_type=jnp.float32)
+        acc += jnp.dot(tri16, lo, preferred_element_type=jnp.float32)
+        return acc
+    # cumsum: log-shift adds; roll wraps, mask off the wrapped rows
+    f = v.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    sh = 1
+    while sh < f:
+        rolled = pltpu.roll(v, shift=sh, axis=0)
+        v = v + jnp.where(rows >= sh, rolled, jnp.float32(0.0))
+        sh *= 2
+    return v
+
 
 def _cq_tables(sample_rate: float, bins_per_octave: float,
                bandwidth: Tuple[float, float], bpad: int):
@@ -75,7 +111,8 @@ _TPB = 4   # frame-tiles per Mosaic program: 4152 single-tile grid steps
 
 def _fwd_kernel(u_re_ref, u_im_ref, t1re_ref, t1im_ref, t2re_ref,
                 t2im_ref, binf_ref, qk_ref, x0_ref, mag_ref, freq_ref,
-                carry, *, sample_rate: float, precision):
+                carry, *, sample_rate: float, precision,
+                prefix_mode: str = "matmul"):
     """carry rows: 0-2 F_re lines, 3-5 F_im lines, 6 prev phase.
     qk rows: 0 i_new, 1 i_old, 2 co_new_re, 3 co_new_im, 4 co_old_re
     (the toward-zero trunc quirk, applied here as per-tile mask math so
@@ -116,10 +153,10 @@ def _fwd_kernel(u_re_ref, u_im_ref, t1re_ref, t1im_ref, t2re_ref,
             t1_im = t1im_ref[l]
             v_re = u_re * t1_re - u_im * t1_im
             v_im = u_re * t1_im + u_im * t1_re
-            s_re = jnp.dot(tri, v_re, preferred_element_type=jnp.float32,
-                           precision=precision) + carry[l:l + 1, :]
-            s_im = jnp.dot(tri, v_im, preferred_element_type=jnp.float32,
-                           precision=precision) + carry[l + 3:l + 4, :]
+            s_re = _prefix_f(v_re, tri, precision,
+                             prefix_mode) + carry[l:l + 1, :]
+            s_im = _prefix_f(v_im, tri, precision,
+                             prefix_mode) + carry[l + 3:l + 4, :]
             t2_re = t2re_ref[l]
             t2_im = t2im_ref[l]
             F_re = s_re * t2_re - s_im * t2_im
@@ -183,15 +220,17 @@ def sqpv_forward_fused(x, *, sample_rate: float, bins_per_octave: float,
         x, u_re_t, u_im_t, sample_rate=float(sample_rate),
         bins_per_octave=float(bins_per_octave),
         bandwidth=(float(bandwidth[0]), float(bandwidth[1])),
-        precision=precision)
+        precision=precision, prefix_mode=_PREFIX_MODE)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sample_rate", "bins_per_octave", "bandwidth", "precision"))
+    "sample_rate", "bins_per_octave", "bandwidth", "precision",
+    "prefix_mode"))
 def _forward_fused_core(x, u_re_t, u_im_t, *, sample_rate: float,
                         bins_per_octave: float,
                         bandwidth: Tuple[float, float],
-                        precision=jax.lax.Precision.HIGHEST):
+                        precision=jax.lax.Precision.HIGHEST,
+                        prefix_mode: str = "matmul"):
     from flan_tpu.sqpv.transform import _cq_params
     c, n = x.shape
     q0, nbins, freqs0, periods0 = _cq_params(sample_rate, bins_per_octave,
@@ -222,7 +261,7 @@ def _forward_fused_core(x, u_re_t, u_im_t, *, sample_rate: float,
     x0 = x[:, 0:1]                                        # [C, 1]
 
     kern = functools.partial(_fwd_kernel, sample_rate=float(sample_rate),
-                             precision=precision)
+                             precision=precision, prefix_mode=prefix_mode)
     tab = lambda ch, t: (0, 0, 0)
     tspec = pl.BlockSpec((3, _F, bpad), tab, memory_space=pltpu.VMEM)
     blk = _TPB * _F
@@ -267,7 +306,8 @@ def _forward_fused_core(x, u_re_t, u_im_t, *, sample_rate: float,
 
 
 def _inv_kernel(mag_ref, freq_ref, twre_ref, twim_ref, out_ref, cyc,
-                *, sample_rate: float, precision):
+                *, sample_rate: float, precision,
+                prefix_mode: str = "matmul"):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -283,8 +323,7 @@ def _inv_kernel(mag_ref, freq_ref, twre_ref, twim_ref, out_ref, cyc,
         fr = freq_ref[0, rows]
         inc = fr * jnp.float32(1.0 / sample_rate)
         inc = inc - jnp.floor(inc)
-        run = jnp.dot(tri, inc, preferred_element_type=jnp.float32,
-                      precision=precision) + cyc[0:1, :]
+        run = _prefix_f(inc, tri, precision, prefix_mode) + cyc[0:1, :]
         cycles = run - jnp.floor(run)
         # Re( polar(m, 2 pi cycles) * twiddle_k ), summed over bins; the
         # polynomial sincos (ops/fastmath.py) takes mod-1 cycles directly
@@ -294,14 +333,27 @@ def _inv_kernel(mag_ref, freq_ref, twre_ref, twim_ref, out_ref, cyc,
         cyc[:] = cycles[_F - 1:_F, :]
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "sample_rate", "bins_per_octave", "bandwidth", "precision"))
 def sqpv_inverse_fused(mag, pitch, positive, *, sample_rate: float,
                        bins_per_octave: float,
                        bandwidth: Tuple[float, float],
                        precision=jax.lax.Precision.HIGHEST):
     """(mag, pitch, positive) [C, F, B] -> audio [C, F], fused form of
     transform.py _sqpv_inverse_scan (AudioSQPV.cpp:128-165)."""
+    return _inverse_fused_core(
+        mag, pitch, positive, sample_rate=float(sample_rate),
+        bins_per_octave=float(bins_per_octave),
+        bandwidth=(float(bandwidth[0]), float(bandwidth[1])),
+        precision=precision, prefix_mode=_PREFIX_MODE)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sample_rate", "bins_per_octave", "bandwidth", "precision",
+    "prefix_mode"))
+def _inverse_fused_core(mag, pitch, positive, *, sample_rate: float,
+                        bins_per_octave: float,
+                        bandwidth: Tuple[float, float],
+                        precision=jax.lax.Precision.HIGHEST,
+                        prefix_mode: str = "matmul"):
     from flan_tpu.sqpv.transform import _cq_params
     c, f, b = mag.shape
     q, nbins, freqs, periods = _cq_params(sample_rate, bins_per_octave,
@@ -324,7 +376,7 @@ def sqpv_inverse_fused(mag, pitch, positive, *, sample_rate: float,
     freq = jnp.pad(freq, pads)
 
     kern = functools.partial(_inv_kernel, sample_rate=float(sample_rate),
-                             precision=precision)
+                             precision=precision, prefix_mode=prefix_mode)
     out = pl.pallas_call(
         kern,
         grid=(c, nblocks),

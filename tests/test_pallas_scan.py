@@ -3,7 +3,7 @@
 Runs under pallas interpret mode on CPU (the real kernel path compiles
 only on TPU). The kernel is a reference implementation that is NOT wired
 into the filter paths: on-chip measurement showed the tiled XLA scan is
-~3x faster for the shapes here (see ops/pallas_scan.py and
+~3x faster for the shapes here (see tools/pallas_scan_experiment.py and
 docs/STATUS.md item 18), so it is kept for future RDMA/kernel work only.
 """
 import numpy as np
@@ -12,7 +12,16 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from flan_tpu.ops.pallas_scan import linear_recurrence_pallas
+import importlib.util as _ilu
+import os as _os
+
+_spec = _ilu.spec_from_file_location(
+    "pallas_scan_experiment",
+    _os.path.join(_os.path.dirname(__file__), "..", "tools",
+                  "pallas_scan_experiment.py"))
+_mod = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)
+linear_recurrence_pallas = _mod.linear_recurrence_pallas
 from flan_tpu.ops.scan import linear_recurrence
 
 
