@@ -75,15 +75,29 @@ class Audio(AudioBuffer):
     @staticmethod
     def load_from_file(filename: str,
                        return_strings: bool = False):
-        """Load WAV (reference AudioConstructors.cpp:35)."""
-        from flan_tpu.io.wav import read_wav
-        data, sr, strings = read_wav(filename)
+        """Load WAV or FLAC, sniffed by stream magic (reference
+        AudioConstructors.cpp:35; libsndfile format dispatch
+        AudioBuffer.cpp:86-117)."""
+        with open(filename, "rb") as f:
+            magic = f.read(4)
+        if magic == b"fLaC":
+            from flan_tpu.io.flac import read_flac
+            data, sr = read_flac(filename)
+            strings = SndfileStrings()
+        else:
+            from flan_tpu.io.wav import read_wav
+            data, sr, strings = read_wav(filename)
         audio = Audio(data=jnp.asarray(data), sample_rate=sr)
         return (audio, strings) if return_strings else audio
 
     def save_to_file(self, filename: str,
                      strings: Optional[SndfileStrings] = None) -> None:
-        """Save WAV, float32 (reference AudioBuffer.cpp:139-190)."""
+        """Save WAV float32, or FLAC for a .flac filename (reference
+        AudioBuffer.cpp:139-190)."""
+        if filename.lower().endswith(".flac"):
+            from flan_tpu.io.flac import write_flac
+            write_flac(filename, np.asarray(self.data), self.sample_rate)
+            return
         from flan_tpu.io.wav import write_wav
         write_wav(filename, np.asarray(self.data), self.sample_rate, strings)
 
