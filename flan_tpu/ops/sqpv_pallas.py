@@ -106,7 +106,9 @@ def _cq_tables(sample_rate: float, bins_per_octave: float,
 
 _TPB = 4   # frame-tiles per Mosaic program: 4152 single-tile grid steps
            # measured 84 ms (~20 us/step overhead-bound); batching tiles
-           # amortizes the per-step cost while the carry chains in VMEM
+           # amortizes the per-step cost while the carry chains in VMEM.
+           # Sweepable via tools/ab_sqpv_kernel.py (set BEFORE first use;
+           # read at trace time by staging, kernels and specs alike).
 
 
 def _fwd_kernel(u_re_ref, u_im_ref, t1re_ref, t1im_ref, t2re_ref,

@@ -180,23 +180,29 @@ def pv_inverse_sp(mag: jnp.ndarray, freq: jnp.ndarray, mesh: Mesh, *,
     return stream[:, shift:shift + f * hop]
 
 
-def stretch_sp_streamed(x: jnp.ndarray, mesh: Mesh, *, factor,
+def streamed_sp_process(xs_list, mesh, chunk_op=None, *, time_map=None,
                         window_size: int = 2048, hop: int = 128,
                         dft_size: int = 4096, sample_rate: float = 48000.0,
                         axis: str = "sp", chunk_out: int = 256):
-    """Sequence-parallel AND streamed PV time-stretch (VERDICT round 2,
-    item 5): each shard runs the O(chunk)-HBM streamed harness
-    (pipelines/streamed.py) over its own output span, so a sharded
-    hour-long stretch never materializes per-shard PV tensors (stretch_sp
-    holds [C, H_local, B] per device - the 2x-overlap-factor blowup
-    streaming was built to avoid).
+    """Sequence-parallel AND streamed PV pipeline harness (VERDICT round 2
+    item 5, generalized round 4 per round-3 item 9): each shard runs the
+    O(chunk)-HBM streamed harness (pipelines/streamed.py) over its own
+    output span, so a sharded hour-long pipeline never materializes
+    per-shard PV tensors (stretch_sp holds [C, H_local, B] per device -
+    the 2x-overlap-factor blowup streaming was built to avoid).
+
+    xs_list: list of [C, N] inputs (shorter ones zero-padded); chunk_op
+    (mags, freqs, f0) -> (mag, freq), identical contract to
+    pipelines/streamed.streamed_pv_process with f0 the chunk's GLOBAL
+    first output-frame index; time_map: per-input-hop monotone output
+    positions (None = identity, frame-aligned ops).
 
     Cross-device sequential state:
     * inverse phase prefix: the mod-1 cycle total of a shard is only known
       after its chunks are scanned, so the kernel runs TWO passes: pass 1
-      scans forward+remap accumulating the per-shard cycle total (no
-      synthesis - XLA dead-code-eliminates the irfft), one all_gather of
-      the tiny [D, C, B] totals, then pass 2 re-runs the scan with each
+      scans forward+remap+chunk_op accumulating the per-shard cycle total
+      (no synthesis - XLA dead-code-eliminates the irfft), one all_gather
+      of the tiny [D, C, B] totals, then pass 2 re-runs the scan with each
       shard's exclusive prefix offset and synthesizes. ~1.4x compute for
       O(chunk) memory; for audio long enough to shard, the alternative is
       not fitting at all.
@@ -204,35 +210,35 @@ def stretch_sp_streamed(x: jnp.ndarray, mesh: Mesh, *, factor,
       right neighbor and added onto its first window of output (the tail
       handoff of pv_inverse_sp, lifted out of the scan).
 
-    Per-device peak HBM: the all_gathered raw audio [C, N] (window/hop * 2
-    = 32x smaller than the PV tensors at default params) plus O(chunk_out
-    x bins) scan state. Matches stretch_sp / the fused single-chip
-    pipeline (asserted in tests/test_multichip.py and
+    Per-device peak HBM: the all_gathered raw audio [n_in, C, N]
+    (window/hop * 2 = 32x smaller than the PV tensors at default params)
+    plus O(chunk_out x bins) scan state. Matches the single-chip streamed
+    pipelines (asserted in tests/test_multichip.py and
     __graft_entry__.dryrun_multichip).
     """
-    from flan_tpu.func.function import as_function
     from flan_tpu.ops.stft import (cumsum_mod1_frames, irfft_polar,
                                    rfft_mag_phase)
 
-    c, n = x.shape
+    n = max(int(x.shape[-1]) for x in xs_list)
+    c = int(xs_list[0].shape[0])
+    for x in xs_list:
+        if int(x.shape[0]) != c:
+            raise ValueError("streamed_sp_process requires equal channels")
+    n_in = len(xs_list)
     d = mesh.shape[axis]
     nh = num_hops(n, hop)
     analysis_rate = sample_rate / hop
     nbins = dft_size // 2 + 1
 
-    # ---- host: factor -> monotone time map (as stretch_sp) ----
-    fn = as_function(factor)
-    if fn.is_constant:
-        factors = np.full(nh, float(fn.constant_value), np.float64)
+    if time_map is None:
+        # identity plan: output frame j = input hop j exactly (see
+        # pipelines/streamed.streamed_pv_process for the trailing entry)
+        tm = np.arange(nh + 1, dtype=np.float64)
+        out_frames = nh
     else:
-        t = np.arange(nh, dtype=np.float64) * (hop / sample_rate)
-        factors = np.asarray(fn(jnp.asarray(t, jnp.float32)),
-                             np.float64).reshape(-1)
-        factors = np.broadcast_to(factors, (nh,))
-    if (factors <= 0).any():
-        raise ValueError("stretch_sp_streamed requires positive factors")
-    time_map = np.cumsum(factors)
-    out_frames = int(math.ceil(time_map.max()))
+        tm = np.asarray(time_map, np.float64)
+        out_frames = int(math.ceil(float(np.max(tm))))
+    nt = tm.shape[0]
 
     # ---- host: chunked gather plan, sharded by output span ----
     nchunks_local = _cdiv(_cdiv(out_frames, d), chunk_out)
@@ -241,11 +247,12 @@ def stretch_sp_streamed(x: jnp.ndarray, mesh: Mesh, *, factor,
     nchunks = nchunks_local * d
 
     xs = np.arange(fpad, dtype=np.float64)
-    raw_idx = np.searchsorted(time_map, xs, side="right")
-    valid = (raw_idx >= 1) & (raw_idx <= nh - 1) & (xs < out_frames)
-    idx = np.clip(raw_idx, 1, nh - 1)
-    l = time_map[idx - 1]
-    rr = time_map[idx]
+    raw_idx = np.searchsorted(tm, xs, side="right")
+    valid = ((raw_idx >= 1) & (raw_idx <= nt - 1) & (xs < out_frames)
+             & (xs >= tm[0]))
+    idx = np.clip(raw_idx, 1, nt - 1)
+    l = tm[idx - 1]
+    rr = tm[idx]
     mix = np.clip((xs - l) / np.where(rr == l, 1.0, rr - l), 0.0, 1.0)
 
     idx_c = idx.reshape(nchunks, chunk_out)
@@ -268,7 +275,9 @@ def stretch_sp_streamed(x: jnp.ndarray, mesh: Mesh, *, factor,
         hann_window(window_size) * inv_scale)
 
     n_local = _cdiv(n, d)
-    xp_in = jnp.pad(x, [(0, 0), (0, n_local * d - n)])
+    stacked = jnp.stack(
+        [jnp.pad(x, [(0, 0), (0, n_local * d - int(x.shape[-1]))])
+         for x in xs_list])                           # [n_in, C, n_pad]
     left_pad = wpad + hop
     span_len = (H + r + 1) * hop
     span_start_np = (i0 - 1) * hop - window_size // 2 + left_pad
@@ -280,45 +289,56 @@ def stretch_sp_streamed(x: jnp.ndarray, mesh: Mesh, *, factor,
     mix_dev = jnp.asarray(mix.reshape(d, nchunks_local, chunk_out),
                           jnp.float32)
     valid_dev = jnp.asarray(valid.reshape(d, nchunks_local, chunk_out))
+    f0_dev = jnp.asarray(
+        (np.arange(nchunks, dtype=np.int32) * chunk_out)
+        .reshape(d, nchunks_local))
 
-    def chunk_core(xf, s0, i0_c, li_c, mix_c, valid_c):
-        """forward PV + stretch remap for one chunk -> (s_mag, s_freq)."""
-        span = jax.lax.dynamic_slice(xf, (0, s0), (c, span_len))
-        rows = span.reshape(c, span_len // hop, hop)
-        frames = jnp.stack([rows[:, jj:jj + H, :] for jj in range(r)],
-                           axis=2)
-        frames = frames.reshape(c, H, r * hop)[..., :window_size]
-        frames = frames * window[None, None, :]
-        mag, phase = rfft_mag_phase(frames, dft_size)
+    def chunk_core(xf, s0, i0_c, li_c, mix_c, valid_c, f0):
+        """forward PV + monotonic remap + chunk_op for one chunk."""
+        span = jax.lax.dynamic_slice(
+            xf, (0, 0, s0), (n_in, c, span_len))
+        rows = span.reshape(n_in, c, span_len // hop, hop)
+        frames = jnp.stack([rows[:, :, jj:jj + H, :] for jj in range(r)],
+                           axis=3)
+        frames = frames.reshape(n_in, c, H, r * hop)[..., :window_size]
+        frames = frames * window[None, None, None, :]
+        mag, phase = rfft_mag_phase(frames, dft_size)  # [n_in, C, H, B]
         prev = jnp.concatenate(
-            [jnp.zeros((c, 1, nbins), jnp.float32), phase[:, :-1]], axis=1)
+            [jnp.zeros((n_in, c, 1, nbins), jnp.float32),
+             phase[:, :, :-1]], axis=2)
         hop_ids = i0_c - 1 + jnp.arange(H)
-        prev = jnp.where((hop_ids[None, :, None] - 1) < 0, 0.0, prev)
-        delta = _wrap_radians(phase - prev - expected[None, None, :])
-        freq = bin_freq[None, None, :] + delta * (analysis_rate
-                                                  / (2.0 * jnp.pi))
-        mag, freq = mag[:, 1:], freq[:, 1:]          # drop helper hop
-        w0 = (1.0 - mix_c)[None, :, None] * mag[:, li_c]
-        w1 = mix_c[None, :, None] * mag[:, li_c + 1]
+        prev = jnp.where((hop_ids[None, None, :, None] - 1) < 0, 0.0, prev)
+        delta = _wrap_radians(phase - prev - expected[None, None, None, :])
+        freq = bin_freq[None, None, None, :] + delta * (
+            analysis_rate / (2.0 * jnp.pi))
+        mag, freq = mag[:, :, 1:], freq[:, :, 1:]    # drop helper hop
+        # WFS remap policy (PVModify.cpp:344-355), per input
+        w0 = (1.0 - mix_c)[None, None, :, None] * mag[:, :, li_c]
+        w1 = mix_c[None, None, :, None] * mag[:, :, li_c + 1]
         total = w0 + w1
-        fsum = w0 * freq[:, li_c] + w1 * freq[:, li_c + 1]
-        v = valid_c[None, :, None]
+        fsum = w0 * freq[:, :, li_c] + w1 * freq[:, :, li_c + 1]
+        v = valid_c[None, None, :, None]
         s_mag = jnp.where(v, total, 0.0)
         s_freq = jnp.where(v & (total > 0.0),
                            fsum / jnp.where(total > 0.0, total, 1.0), 0.0)
-        return s_mag, s_freq
+        if chunk_op is not None:
+            return chunk_op(s_mag, s_freq, f0)
+        return s_mag[0], s_freq[0]
 
-    def kernel(x_local, sp_c, i0_c, li_c, mix_c, valid_c):
+    def kernel(x_local, sp_c, i0_c, li_c, mix_c, valid_c, f0_c):
         idx_dev = jax.lax.axis_index(axis)
-        full = jax.lax.all_gather(x_local, axis, axis=1, tiled=True)
-        xf = jnp.pad(full, [(0, 0), (left_pad, span_len + left_pad)])
+        full = jax.lax.all_gather(x_local, axis, axis=2, tiled=True)
+        xf = jnp.pad(full, [(0, 0), (0, 0),
+                            (left_pad, span_len + left_pad)])
         sp_l = sp_c[0]          # [nchunks_local] (leading dev axis sharded)
-        i0_l, li_l, mix_l, valid_l = i0_c[0], li_c[0], mix_c[0], valid_c[0]
+        i0_l, li_l, mix_l, valid_l, f0_l = (i0_c[0], li_c[0], mix_c[0],
+                                            valid_c[0], f0_c[0])
 
         # ---- pass 1: per-shard mod-1 cycle total (no synthesis) ----
         def body_total(total0, inputs):
-            s0, i0_k, li_k, mix_k, valid_k = inputs
-            _, s_freq = chunk_core(xf, s0, i0_k, li_k, mix_k, valid_k)
+            s0, i0_k, li_k, mix_k, valid_k, f0_k = inputs
+            _, s_freq = chunk_core(xf, s0, i0_k, li_k, mix_k, valid_k,
+                                   f0_k)
             inc = jnp.mod(s_freq / analysis_rate, 1.0)
             last = cumsum_mod1_frames(inc)[:, -1, :]
             return jnp.mod(total0 + last, 1.0), None
@@ -327,7 +347,7 @@ def stretch_sp_streamed(x: jnp.ndarray, mesh: Mesh, *, factor,
             body_total,
             jax.lax.pcast(jnp.zeros((c, nbins), jnp.float32), (axis,),
                           to="varying"),
-            (sp_l, i0_l, li_l, mix_l, valid_l))
+            (sp_l, i0_l, li_l, mix_l, valid_l, f0_l))
 
         totals = jax.lax.all_gather(total, axis)          # [D, C, B]
         ranks = jnp.arange(d)[:, None, None]
@@ -337,8 +357,9 @@ def stretch_sp_streamed(x: jnp.ndarray, mesh: Mesh, *, factor,
         # ---- pass 2: streamed synthesis with the device phase offset ----
         def body(carry, inputs):
             cycle0, tail = carry
-            s0, i0_k, li_k, mix_k, valid_k = inputs
-            s_mag, s_freq = chunk_core(xf, s0, i0_k, li_k, mix_k, valid_k)
+            s0, i0_k, li_k, mix_k, valid_k, f0_k = inputs
+            s_mag, s_freq = chunk_core(xf, s0, i0_k, li_k, mix_k, valid_k,
+                                       f0_k)
             inc = jnp.mod(s_freq / analysis_rate, 1.0)
             cycles = jnp.mod(cumsum_mod1_frames(inc) + cycle0[:, None, :],
                              1.0)
@@ -357,7 +378,7 @@ def stretch_sp_streamed(x: jnp.ndarray, mesh: Mesh, *, factor,
                 jax.lax.pcast(jnp.zeros((c, r, hop), jnp.float32), (axis,),
                               to="varying"))
         (_, tail), outs = jax.lax.scan(
-            body, init, (sp_l, i0_l, li_l, mix_l, valid_l))
+            body, init, (sp_l, i0_l, li_l, mix_l, valid_l, f0_l))
         body_audio = outs.transpose(1, 0, 2).reshape(c, oh_local * hop)
 
         # ---- cross-device OLA tail handoff (outside the scan) ----
@@ -374,16 +395,82 @@ def stretch_sp_streamed(x: jnp.ndarray, mesh: Mesh, *, factor,
 
     fn_sharded = shard_map(
         kernel, mesh=mesh,
-        in_specs=(P(None, axis), P(axis, None), P(axis, None),
+        in_specs=(P(None, None, axis), P(axis, None), P(axis, None),
                   P(axis, None, None), P(axis, None, None),
-                  P(axis, None, None)),
+                  P(axis, None, None), P(axis, None)),
         out_specs=(P(None, axis), P(None, None, None)))
-    audio, last_tail = fn_sharded(xp_in, sp_dev, i0_dev, li_dev, mix_dev,
-                                  valid_dev)
+    audio, last_tail = fn_sharded(stacked, sp_dev, i0_dev, li_dev, mix_dev,
+                                  valid_dev, f0_dev)
     stream = jnp.concatenate([audio, last_tail.reshape(c, r * hop)],
                              axis=-1)
     shift = window_size // 2
     return stream[:, shift:shift + out_frames * hop]
+
+
+def stretch_sp_streamed(x: jnp.ndarray, mesh: Mesh, *, factor,
+                        window_size: int = 2048, hop: int = 128,
+                        dft_size: int = 4096, sample_rate: float = 48000.0,
+                        axis: str = "sp", chunk_out: int = 256):
+    """Sequence-parallel AND streamed PV time-stretch: the monotone
+    time-map instantiation of streamed_sp_process (see there for the
+    two-pass phase prefix and tail handoff design)."""
+    from flan_tpu.func.function import as_function
+
+    nh = num_hops(int(x.shape[-1]), hop)
+    fn = as_function(factor)
+    if fn.is_constant:
+        factors = np.full(nh, float(fn.constant_value), np.float64)
+    else:
+        t = np.arange(nh, dtype=np.float64) * (hop / sample_rate)
+        factors = np.asarray(fn(jnp.asarray(t, jnp.float32)),
+                             np.float64).reshape(-1)
+        factors = np.broadcast_to(factors, (nh,))
+    if (factors <= 0).any():
+        raise ValueError("stretch_sp_streamed requires positive factors")
+    return streamed_sp_process(
+        [x], mesh, None, time_map=np.cumsum(factors),
+        window_size=window_size, hop=hop, dft_size=dft_size,
+        sample_rate=sample_rate, axis=axis, chunk_out=chunk_out)
+
+
+def repitch_sp_streamed(x: jnp.ndarray, mesh: Mesh, *, factor,
+                        window_size: int = 2048, hop: int = 128,
+                        dft_size: int = 4096, sample_rate: float = 48000.0,
+                        axis: str = "sp", chunk_out: int = 256):
+    """Sequence-parallel streamed PV repitch: per-frame monotonic
+    frequency remap (reference PVModify.cpp:273-305) on an identity time
+    map, sharded over the mesh with O(chunk) per-device HBM. Shares the
+    chunk_op with the single-chip pipelines/streamed.pv_repitch_pipeline
+    (value-equality asserted in __graft_entry__.dryrun_multichip)."""
+    from flan_tpu.pipelines.streamed import _repitch_chunk_op
+
+    chunk_op = _repitch_chunk_op(
+        factor, dft_size // 2 + 1, sample_rate / dft_size,
+        sample_rate / hop)
+    return streamed_sp_process(
+        [x], mesh, chunk_op, time_map=None, window_size=window_size,
+        hop=hop, dft_size=dft_size, sample_rate=sample_rate, axis=axis,
+        chunk_out=chunk_out)
+
+
+def morph_sp_streamed(a: jnp.ndarray, b: jnp.ndarray, mesh: Mesh, *,
+                      amount, window_size: int = 2048, hop: int = 128,
+                      dft_size: int = 4096, sample_rate: float = 48000.0,
+                      axis: str = "sp", chunk_out: int = 256):
+    """Sequence-parallel streamed two-source spectral morph
+    (replace_amplitudes semantics, reference PV.cpp:205-236), sharded
+    over the mesh with O(chunk) per-device HBM. Shares the chunk_op with
+    pipelines/streamed.pv_morph_pipeline."""
+    from flan_tpu.pipelines.streamed import _morph_chunk_op
+
+    min_nh = min(num_hops(int(a.shape[-1]), hop),
+                 num_hops(int(b.shape[-1]), hop))
+    chunk_op = _morph_chunk_op(amount, min_nh, sample_rate / dft_size,
+                               sample_rate / hop)
+    return streamed_sp_process(
+        [a, b], mesh, chunk_op, time_map=None, window_size=window_size,
+        hop=hop, dft_size=dft_size, sample_rate=sample_rate, axis=axis,
+        chunk_out=chunk_out)
 
 
 def stretch_sp(x: jnp.ndarray, mesh: Mesh, *, factor, window_size: int = 2048,

@@ -37,6 +37,26 @@ from flan_tpu.ops.windows import hann_window
 # path even for constant-rate maps
 _FORCE_DYNAMIC_REMAP = False
 
+# A/B knob (tools/ab_superchunk.py): dtype for the remap-side spectral
+# planes (mag and the per-bin frequency DEVIATION from bin center; the
+# deviation form keeps bf16 quantization at ~0.4 Hz instead of the
+# ~2^-9-relative error absolute frequencies would carry into the phase
+# accumulator). None = f32 (shipped default). The cycle accumulation and
+# the FFTs always stay f32.
+_REMAP_DTYPE = None
+
+# A/B knob: how analysis frames are rebuilt from the hop-blocked span
+# ("stack": wblocks static slices restacked; "gather": one static-index
+# take along the block axis).
+_FRAMING_MODE = "stack"
+
+# A/B knob: split the per-step synthesis irfft into this many sub-batches
+# along the frame axis. Stage ablation at chunk 512 localized the >256
+# chunk cliff to the irfft custom call (no_inv_fft: 798x vs full 385x) -
+# its input crosses ~16 MB right above 2ch x 512 frames x 4096, where the
+# TPU FFT's internal buffering falls off a cliff.
+_IRFFT_SPLIT = 1
+
 
 @functools.partial(
     jax.jit,
@@ -99,9 +119,14 @@ def _streamed_scan(xs, plan, mix_s, *, chunk_op, n_in,
         span = jax.lax.dynamic_slice(
             x_all, (0, 0, s0), (n_in, c, span_len))
         rows = span.reshape(n_in, c, span_len // hop, hop)
-        frames = jnp.stack(
-            [rows[:, :, jj:jj + H, :] for jj in range(wblocks)],
-            axis=3)                            # [n_in, C, H, wblocks, hop]
+        if _FRAMING_MODE == "gather":
+            idx = (np.arange(H)[:, None]
+                   + np.arange(wblocks)[None, :])   # [H, wblocks] static
+            frames = rows[:, :, jnp.asarray(idx), :]
+        else:
+            frames = jnp.stack(
+                [rows[:, :, jj:jj + H, :] for jj in range(wblocks)],
+                axis=3)                        # [n_in, C, H, wblocks, hop]
         frames = frames.reshape(n_in, c, H, wblocks * hop)[
             ..., :window_size]
         frames = frames * window[None, None, None, :]
@@ -127,16 +152,28 @@ def _streamed_scan(xs, plan, mix_s, *, chunk_op, n_in,
             s0, i0_c, li_c, mix_c, valid_c, f0 = inputs
 
         mag, freq = forward_chunk(xp, s0, i0_c)
+        if _REMAP_DTYPE is not None:
+            # gather halved planes: magnitude + per-bin deviation from the
+            # bin-center frequency (remap mixes hops of the SAME bin, so
+            # the deviation is the only varying part and stays within
+            # ±analysis_rate/2, where bf16 costs < 0.4 Hz)
+            mag = mag.astype(_REMAP_DTYPE)
+            freq = (freq - bin_freq[None, None, None, :]).astype(
+                _REMAP_DTYPE)
 
         # ---- monotonic remap (WFS policy, PVModify.cpp:344-355) ----
         w0 = (1.0 - mix_c)[None, None, :, None] * mag[:, :, li_c]
         w1 = mix_c[None, None, :, None] * mag[:, :, li_c + 1]
-        total = w0 + w1
-        fsum = w0 * freq[:, :, li_c] + w1 * freq[:, :, li_c + 1]
+        total = (w0 + w1).astype(jnp.float32)
+        fsum = (w0 * freq[:, :, li_c]
+                + w1 * freq[:, :, li_c + 1]).astype(jnp.float32)
         v = valid_c[None, None, :, None]
         s_mag = jnp.where(v, total, 0.0)
         s_freq = jnp.where(v & (total > 0.0),
                            fsum / jnp.where(total > 0.0, total, 1.0), 0.0)
+        if _REMAP_DTYPE is not None:
+            s_freq = jnp.where(v & (total > 0.0),
+                               s_freq + bin_freq[None, None, None, :], 0.0)
 
         # ---- per-chunk spectral op ----
         if chunk_op is not None:
@@ -149,8 +186,17 @@ def _streamed_scan(xs, plan, mix_s, *, chunk_op, n_in,
         inc = jnp.mod(s_freq / analysis_rate, 1.0)
         cycles = cumsum_mod1_frames(inc)
         cycles = jnp.mod(cycles + cycle0[:, None, :], 1.0)
-        out_t = irfft_polar(s_mag, cycles * (2.0 * jnp.pi),
+        if _IRFFT_SPLIT > 1 and chunk_out % _IRFFT_SPLIT == 0:
+            sub = chunk_out // _IRFFT_SPLIT
+            out_t = jnp.concatenate([
+                irfft_polar(s_mag[:, i * sub:(i + 1) * sub],
+                            cycles[:, i * sub:(i + 1) * sub]
+                            * (2.0 * jnp.pi),
                             dft_size, out_len=wpad)[..., :wpad]
+                for i in range(_IRFFT_SPLIT)], axis=1)
+        else:
+            out_t = irfft_polar(s_mag, cycles * (2.0 * jnp.pi),
+                                dft_size, out_len=wpad)[..., :wpad]
         out_t = out_t * inv_window[None, None, :]
 
         blocks = out_t.reshape(c, chunk_out, r, hop)
