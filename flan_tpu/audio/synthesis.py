@@ -636,10 +636,105 @@ def _granulate_batched(self, times: np.ndarray, sels: np.ndarray,
     out_n = int((starts_out + lens).max())
     meta = np.stack([s0, lens, sf, ef, starts_out // 128,
                      starts_out % 128]).astype(np.int32)
-    data = _granulate_render(
-        self.data, jnp.asarray(meta),
-        L=L, out_n=out_n, envelope=envelope)
+    plan = None
+    if _RENDER_MODE == "planned":
+        plan = _mix_plan(starts_out // 128, L, out_n)
+    if plan is not None:
+        data = _granulate_render_planned(
+            self.data, jnp.asarray(meta), jnp.asarray(plan),
+            L=L, out_n=out_n, envelope=envelope)
+    else:
+        data = _granulate_render(
+            self.data, jnp.asarray(meta),
+            L=L, out_n=out_n, envelope=envelope)
     return Audio(data=data, sample_rate=sr)
+
+
+# Render strategy for the dense granulate/psola path, A/B'd on the v5e
+# (tools/ab_granulate.py): "planned" (default) folds the 128-block
+# alignment into the extraction gather and mixes with K host-planned
+# accumulating row gathers (every per-grain scalar is host-known numpy,
+# so the whole overlap structure is a compile-time plan — the CLAUDE.md
+# pv_modify precedent); "legacy" is the round-3 align + scatter-add form.
+_RENDER_MODE = "planned"
+
+# Overlap bound above which the planned mixer's K accumulating passes
+# stop paying for themselves and the scatter form takes over.
+_PLAN_MAX_K = 32
+
+
+def _mix_plan(q: np.ndarray, g_n: int, out_n: int):
+    """Host-side mix plan for _granulate_render_planned: rows[r] is the
+    128-lane block row g*nblk_g + b of grain g; plan[o, k] lists the ≤K
+    rows landing on output block o (sentinel R = the appended zero row).
+    Returns None when the max overlap exceeds _PLAN_MAX_K (fall back to
+    the scatter mixer)."""
+    block = 128
+    nblk_g = -(-(g_n + block - 1) // block)
+    ids = (q.astype(np.int64)[:, None]
+           + np.arange(nblk_g)[None, :]).reshape(-1)
+    nblk_out = -(-(out_n + g_n) // block) + 1
+    r_total = len(ids)
+    counts = np.bincount(ids, minlength=nblk_out)
+    k = int(counts.max()) if r_total else 1
+    if k > _PLAN_MAX_K:
+        return None
+    order = np.argsort(ids, kind="stable")
+    ids_s = ids[order]
+    offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    rank = np.arange(r_total) - offs[ids_s]
+    plan = np.full((nblk_out, k), r_total, np.int32)
+    plan[ids_s, rank] = order
+    return plan
+
+
+@functools.partial(jax.jit, static_argnames=("L", "out_n", "envelope"))
+def _granulate_render_planned(x, meta, plan, *, L: int, out_n: int,
+                              envelope):
+    """Planned variant of _granulate_render (same semantics, one compiled
+    program): because every per-grain scalar is host numpy, (1) the
+    128-block alignment folds into the extraction gather itself
+    (idx = s0 - r_off + lane over the padded grain width — no
+    _align_grains_to_blocks shift pass), (2) the channel axis stays
+    outermost end-to-end (no [G, C, L] transposes), and (3) the
+    data-dependent scatter-add mixer becomes K accumulating row gathers
+    driven by the host-built plan (_mix_plan). Reference semantics
+    unchanged: AudioSynthesis.cpp:572-609 cut/fade/mix."""
+    s0, lens, sf, ef, r_off = (meta[0], meta[1], meta[2], meta[3],
+                               meta[5])
+    n = x.shape[-1]
+    g_c = x.shape[0]
+    block = 128
+    nblk_g = -(-(L + block - 1) // block)
+    la = nblk_g * block
+    lane = jnp.arange(la, dtype=jnp.int32)[None, :] - r_off[:, None]
+    mask = ((lane >= 0) & (lane < lens[:, None])).astype(jnp.float32)
+    lane_f = lane.astype(jnp.float32)
+    lens_f = lens[:, None].astype(jnp.float32)
+    sf_f = jnp.maximum(sf[:, None], 1).astype(jnp.float32)
+    ef_f = jnp.maximum(ef[:, None], 1).astype(jnp.float32)
+    env = jnp.ones(lane.shape, jnp.float32)
+    env = jnp.where(lane < sf[:, None],
+                    jnp.sqrt(jnp.maximum(lane_f, 0.0) / sf_f), env)
+    env = jnp.where((lane >= (lens - ef)[:, None]) & (lane < lens[:, None]),
+                    jnp.minimum(env, jnp.sqrt(jnp.maximum(
+                        lens_f - 1.0 - lane_f, 0.0) / ef_f)), env)
+    if envelope is not None:
+        env = env * jnp.asarray(
+            envelope(jnp.maximum(lane_f, 0.0)
+                     / jnp.maximum(lens_f, 1.0)), jnp.float32)
+    env = env * mask
+
+    idx = jnp.clip(s0[:, None] + lane, 0, n - 1)          # [G, La]
+    grains = jnp.take(x, idx.reshape(-1), axis=1).reshape(
+        g_c, idx.shape[0], la) * env[None]                 # [C, G, La]
+    rows = grains.reshape(g_c, idx.shape[0] * nblk_g, block)
+    rows = jnp.concatenate(
+        [rows, jnp.zeros((g_c, 1, block), jnp.float32)], axis=1)
+    acc = jnp.zeros((g_c, plan.shape[0], block), jnp.float32)
+    for k in range(plan.shape[1]):
+        acc = acc + jnp.take(rows, plan[:, k], axis=1)
+    return acc.reshape(g_c, plan.shape[0] * block)[:, :out_n]
 
 
 @functools.partial(jax.jit, static_argnames=("L", "out_n", "envelope",

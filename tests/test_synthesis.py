@@ -222,6 +222,40 @@ def test_granulate_batched_matches_sequential():
                                np.asarray(slow.data), atol=2e-5)
 
 
+def test_granulate_planned_matches_legacy_render():
+    """The round-4 planned render (fused-alignment gather + host-planned
+    K-pass gather mixer) equals the legacy align + scatter-add render
+    bit-for-bit in structure (same grains, same envelope math; only the
+    f32 mix summation order differs)."""
+    from flan_tpu.audio import synthesis
+    rng = np.random.default_rng(3)
+    sr = 8000.0
+    a = Audio.create_from_array(
+        rng.standard_normal((2, 8000)).astype(np.float32) * 0.3, sr)
+    kw = dict(time_selection=lambda t: 0.7 * t, grain_length=0.06,
+              fade_time=0.02, seed=9)
+    planned = a.granulate(1.0, 30.0, 0.04, **kw)
+    assert synthesis._RENDER_MODE == "planned"
+    try:
+        synthesis._RENDER_MODE = "legacy"
+        legacy = a.granulate(1.0, 30.0, 0.04, **kw)
+    finally:
+        synthesis._RENDER_MODE = "planned"
+    assert planned.num_frames == legacy.num_frames
+    np.testing.assert_allclose(np.asarray(planned.data),
+                               np.asarray(legacy.data), atol=1e-6)
+
+
+def test_mix_plan_overflow_falls_back():
+    """A pathological overlap (> _PLAN_MAX_K grains on one block) returns
+    None from _mix_plan and the caller falls back to the scatter render."""
+    from flan_tpu.audio import synthesis
+    q = np.zeros(synthesis._PLAN_MAX_K + 1, np.int64)  # all on block 0
+    assert synthesis._mix_plan(q, 1, 256) is None
+    plan = synthesis._mix_plan(np.array([0, 1]), 1, 256)
+    assert plan is not None and plan.shape[1] == 1
+
+
 def test_psola_batched_matches_sequential():
     sr = 8000.0
     t = np.arange(8000, dtype=np.float32) / sr

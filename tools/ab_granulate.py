@@ -1,8 +1,12 @@
 """A/B the granulate grain extraction: block-row gather vs per-element.
 
-Usage: python tools/ab_granulate.py slicemap|elem|block|mix_none|mix_sorted
+Usage: python tools/ab_granulate.py \
+    planned|slicemap|elem|block|mix_none|mix_sorted
 Runs the bench_convolve_texture granulate config (30 s stereo, 20
 grains/s, 0.1 s grains). Subprocess-isolate per arm (remote backend).
+"planned" is the round-4 default (fused-alignment gather + host-planned
+K-pass gather mixer); every other arm forces the legacy align+scatter
+render with the named variant.
 """
 import functools
 import json
@@ -22,10 +26,14 @@ def main():
     from flan_tpu.audio import synthesis
 
     orig = synthesis._granulate_render
-    if arm.startswith("mix_"):
+    if arm == "planned":
+        assert synthesis._RENDER_MODE == "planned"
+    elif arm.startswith("mix_"):
+        synthesis._RENDER_MODE = "legacy"
         synthesis._granulate_render = functools.partial(
             orig, mix_mode=arm[4:])
     else:
+        synthesis._RENDER_MODE = "legacy"
         synthesis._granulate_render = functools.partial(
             orig, gather_mode=arm)
 
