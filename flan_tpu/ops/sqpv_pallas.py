@@ -46,14 +46,22 @@ from flan_tpu.ops.spv_pallas import _atan2, _interpret, _roll_rows
 _F = 128   # frames per tile: one MXU-tile of prefix accumulation
 
 # Prefix-accumulation strategy inside the Mosaic kernels (A/B'd on the
-# real chip, tools/ab_sqpv_kernel.py):
+# real chip, tools/ab_sqpv_kernel.py, 10 s mono, docs/PERF_NOTES_R4.md):
 #   "matmul"  - lower-triangular jnp.dot at `precision` (HIGHEST = 6
 #               MXU passes; the round-3 baseline)
 #   "split3"  - 3-way bf16 mantissa split of the data operand against an
-#               EXACT bf16 0/1 triangle: 3 DEFAULT passes reproduce f32
-#               accuracy at half the HIGHEST pass count
-#   "cumsum"  - log2(F) masked pltpu.roll shift-adds on the VPU; no MXU
-_PREFIX_MODE = "matmul"
+#               EXACT bf16 0/1 triangle: 3 DEFAULT passes reproduce ~f32
+#               mag accuracy at half the HIGHEST pass count (fwd 69.5 vs
+#               81.9 ms) but trebles the live-bin pitch error (0.43 vs
+#               0.15 Hz) - not adopted for the forward
+#   "cumsum"  - log2(F) masked pltpu.roll shift-adds on the VPU; no MXU,
+#               exact f32 pairwise adds. Fastest INVERSE (32.3 vs
+#               38.1 ms) and adopted there; forward middle (73.1 ms)
+# Per-kernel defaults below; setting _PREFIX_MODE (the A/B override)
+# forces BOTH kernels to one mode.
+_PREFIX_MODE = None
+_PREFIX_MODE_FWD = "matmul"
+_PREFIX_MODE_INV = "cumsum"
 
 
 def _prefix_f(v, tri, precision, mode):
@@ -104,11 +112,13 @@ def _cq_tables(sample_rate: float, bins_per_octave: float,
             t2.real.astype(np.float32), t2.imag.astype(np.float32))
 
 
-_TPB = 4   # frame-tiles per Mosaic program: 4152 single-tile grid steps
+_TPB = 8   # frame-tiles per Mosaic program: 4152 single-tile grid steps
            # measured 84 ms (~20 us/step overhead-bound); batching tiles
            # amortizes the per-step cost while the carry chains in VMEM.
-           # Sweepable via tools/ab_sqpv_kernel.py (set BEFORE first use;
-           # read at trace time by staging, kernels and specs alike).
+           # Round-4 sweep (tools/ab_sqpv_kernel.py): tpb 8 fwd 73.3 ms
+           # vs tpb 4's 81.9 (469 fewer steps x ~18 us); tpb 16's
+           # compile blew the 600 s probe budget. Set BEFORE first use;
+           # read at trace time by staging, kernels and specs alike.
 
 
 def _fwd_kernel(u_re_ref, u_im_ref, t1re_ref, t1im_ref, t2re_ref,
@@ -222,7 +232,8 @@ def sqpv_forward_fused(x, *, sample_rate: float, bins_per_octave: float,
         x, u_re_t, u_im_t, sample_rate=float(sample_rate),
         bins_per_octave=float(bins_per_octave),
         bandwidth=(float(bandwidth[0]), float(bandwidth[1])),
-        precision=precision, prefix_mode=_PREFIX_MODE)
+        precision=precision,
+        prefix_mode=_PREFIX_MODE or _PREFIX_MODE_FWD)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -345,7 +356,8 @@ def sqpv_inverse_fused(mag, pitch, positive, *, sample_rate: float,
         mag, pitch, positive, sample_rate=float(sample_rate),
         bins_per_octave=float(bins_per_octave),
         bandwidth=(float(bandwidth[0]), float(bandwidth[1])),
-        precision=precision, prefix_mode=_PREFIX_MODE)
+        precision=precision,
+        prefix_mode=_PREFIX_MODE or _PREFIX_MODE_INV)
 
 
 @functools.partial(jax.jit, static_argnames=(
