@@ -1,7 +1,10 @@
 """A/B the SQPV Mosaic kernels' prefix-accumulation strategy on the
 real chip.
 
-Usage: python tools/ab_sqpv_kernel.py matmul|split3|cumsum [SECONDS]
+Usage: python tools/ab_sqpv_kernel.py adopted|matmul|split3|cumsum [SECONDS]
+
+"adopted" leaves the per-kernel defaults (_PREFIX_MODE_FWD/_INV) in
+place; a named mode forces BOTH kernels to it.
 
 Times the bench_sqpv config (10 s mono, bandwidth (16, 24000), 24
 bins/octave) split into staging / forward kernel / inverse kernel, plus
@@ -27,7 +30,8 @@ def main():
     import jax
     import jax.numpy as jnp
     import flan_tpu.ops.sqpv_pallas as sp
-    sp._PREFIX_MODE = mode
+    if mode != "adopted":
+        sp._PREFIX_MODE = mode
     if len(sys.argv) > 3:
         sp._TPB = int(sys.argv[3])
     from flan_tpu.ops.sqpv_pallas import (_stage_fused, _forward_fused_core,
@@ -77,10 +81,12 @@ def main():
         x, sample_rate=sr, bins_per_octave=bpo, bandwidth=bw)))
 
     # forward kernel (incl. transpose) on pre-staged operands
+    fwd_mode = sp._PREFIX_MODE_FWD if mode == "adopted" else mode
+
     def fwd():
         m, p, po = _forward_fused_core(
             x, u_re, u_im, sample_rate=sr, bins_per_octave=bpo,
-            bandwidth=bw, prefix_mode=mode)
+            bandwidth=bw, prefix_mode=fwd_mode)
         sync(m, p)
         return m, p, po
 
