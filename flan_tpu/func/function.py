@@ -86,12 +86,79 @@ class Function:
             jnp.asarray(_vector_eval(self._fn, grid), jnp.float32),
             (count,))
 
+    def copy(self) -> "Function":
+        """Reference Function::copy (Function.h:65-72); Functions here are
+        immutable so this is a fresh wrapper over the same underlying."""
+        return Function(self)
+
     def periodize(self, period: float = 1.0) -> "Function":
         """Repeat this function with the given period (Function.h:128-137)."""
         if self._const is not None:
             return self
         fn = self._fn
         return Function(lambda t: fn(jnp.mod(t, period)))
+
+    @staticmethod
+    def uniform_distribution(lower: FunctionLike, upper: FunctionLike,
+                             seed: int = 0) -> "Function":
+        """Stochastic Function drawing uniform values between the bounds,
+        evaluated per call (activates the reference's commented-out
+        Function::uniformDistribution, Function.h:105-112). The reference
+        seeds a shared engine with time(nullptr); here the seed is
+        explicit and the draw happens on host at evaluation time (the
+        values embed as constants under tracing)."""
+        lo, hi = as_function(lower), as_function(upper)
+        rng = np.random.default_rng(seed)
+
+        def f(x):
+            u = rng.random(np.shape(x)).astype(np.float32)
+            a = np.asarray(lo(x), np.float32)
+            b = np.asarray(hi(x), np.float32)
+            out = a + (b - a) * u
+            return out if np.shape(x) else float(out)
+        return Function(f)
+
+    @staticmethod
+    def normal_distribution(mean: FunctionLike, sigma: FunctionLike,
+                            seed: int = 0) -> "Function":
+        """Stochastic Function drawing normal(mean, sigma) per call, with
+        the reference's sigma<=0 -> mean short-circuit (activates the
+        commented-out Function::normalDistribution, Function.h:114-125)."""
+        m_f, s_f = as_function(mean), as_function(sigma)
+        rng = np.random.default_rng(seed)
+
+        def f(x):
+            m = np.asarray(m_f(x), np.float32)
+            s = np.asarray(s_f(x), np.float32)
+            z = rng.standard_normal(np.shape(x)).astype(np.float32)
+            out = np.where(s > 0, m + s * z, m)
+            return out if np.shape(x) else float(out)
+        return Function(f)
+
+    # camelCase aliases matching the reference's declared names are bound
+    # after the class body (Function.uniformDistribution/...).
+
+    def convert_to_graph(self, view=None, domain=None,
+                         width: int = -1, height: int = -1):
+        """Graph this function (reference Function.h:197-211: white fill,
+        unit linear grid in light grey, axes, function in black)."""
+        from flan_tpu.graph import Graph
+        from flan_tpu.utils.geometry import Color, Rect
+        if view is None:
+            view = Rect(-5, -5, 5, 5)
+        g = Graph(width, height)
+        g.set_view(view)
+        g.fill_image(Color.white())
+        g.draw_linear_grid(1, 1, 0, Color(200 / 255, 200 / 255, 200 / 255))
+        g.draw_axes(0, Color.black())
+        g.draw_function(self, domain, -1, Color.black())
+        return g
+
+    def save_to_bmp(self, filename: str, view=None, domain=None,
+                    width: int = -1, height: int = -1) -> None:
+        """Graph and save (reference Function.h:222-231)."""
+        self.convert_to_graph(view, domain, width, height).save_image(
+            filename)
 
     # Arithmetic composition helpers
     def __mul__(self, other):
@@ -105,6 +172,10 @@ class Function:
             return Function(-self._const)
         fn = self._fn
         return Function(lambda t: -fn(t))
+
+
+Function.uniformDistribution = Function.uniform_distribution
+Function.normalDistribution = Function.normal_distribution
 
 
 def _binary(left: "Function", right, op) -> "Function":

@@ -56,14 +56,23 @@ class Graph:
             View(rect, Rect(0, 0, self.width, self.height)), num_views,
             start_plane)
 
+    def do_planes_match(self, p1: int, p2: int) -> bool:
+        """Reference Graph.h:82 — ALL_PLANES matches everything."""
+        return p1 == ALL_PLANES or p2 == ALL_PLANES or p1 == p2
+
     def _active_views(self, rect: Rect, plane: int):
         out = []
         for p, v in self.views:
-            if plane != ALL_PLANES and p != ALL_PLANES and p != plane:
+            if not self.do_planes_match(plane, p):
                 continue
             if rect.intersect(v.U).valid():
                 out.append((p, v))
         return out
+
+    def get_intersecting_views(self, rect: Rect, plane: int = ALL_PLANES):
+        """Public (plane, View) pairs whose U-space intersects rect
+        (reference Graph.h get_intersecting_views)."""
+        return self._active_views(rect, plane)
 
     # --- Basics -------------------------------------------------------------
     def fill_image(self, color: Color) -> None:
@@ -72,6 +81,58 @@ class Graph:
     def set_pixel(self, x: int, y: int, color: Color) -> None:
         if 0 <= x < self.width and 0 <= y < self.height:
             self.image[y, x] = color.as_array()
+
+    # --- Primitives (reference Graph.h:206-222, Graph.cpp:287-345). The
+    # reference draws via bitmap_image's image_drawer with a bottom-up y
+    # axis; here y_u_to_v already lands in top-down image rows, so these
+    # paint numpy slices directly.
+    def set_point(self, view: View, x: float, y: float, color: Color) -> None:
+        self.set_pixel(int(round(view.x_u_to_v(x))),
+                       int(round(view.y_u_to_v(y))), color)
+
+    def draw_horizontal_line(self, view: View, x1: float, x2: float,
+                             y: float, color: Color) -> None:
+        py = int(round(view.y_u_to_v(y)))
+        if not 0 <= py < self.height:
+            return
+        a = int(round(view.x_u_to_v(x1)))
+        b = int(round(view.x_u_to_v(x2)))
+        lo, hi = min(a, b), max(a, b)
+        self.image[py, max(lo, 0):min(hi + 1, self.width)] = color.as_array()
+
+    def draw_vertical_line(self, view: View, y1: float, y2: float,
+                           x: float, color: Color) -> None:
+        px = int(round(view.x_u_to_v(x)))
+        if not 0 <= px < self.width:
+            return
+        a = int(round(view.y_u_to_v(y1)))
+        b = int(round(view.y_u_to_v(y2)))
+        lo, hi = min(a, b), max(a, b)
+        self.image[max(lo, 0):min(hi + 1, self.height), px] = color.as_array()
+
+    def draw_line_segment(self, view: View, x1: float, y1: float,
+                          x2: float, y2: float, color: Color) -> None:
+        """Arbitrary segment in U space, rasterized as one fancy-index
+        write over max(|dx|,|dy|)+1 interpolated pixels (the vectorized
+        replacement for image_drawer::line_segment)."""
+        ax, ay = view.x_u_to_v(x1), view.y_u_to_v(y1)
+        bx, by = view.x_u_to_v(x2), view.y_u_to_v(y2)
+        steps = int(max(abs(bx - ax), abs(by - ay))) + 1
+        t = np.linspace(0.0, 1.0, steps + 1)
+        px = np.round(ax + (bx - ax) * t).astype(np.int64)
+        py = np.round(ay + (by - ay) * t).astype(np.int64)
+        ok = (px >= 0) & (px < self.width) & (py >= 0) & (py < self.height)
+        self.image[py[ok], px[ok]] = color.as_array()
+
+    def set_rect(self, view: View, rect: Rect, color: Color) -> None:
+        xa = int(round(view.x_u_to_v(rect.x1)))
+        xb = int(round(view.x_u_to_v(rect.x2)))
+        ya = int(round(view.y_u_to_v(rect.y1)))
+        yb = int(round(view.y_u_to_v(rect.y2)))
+        x_lo, x_hi = max(min(xa, xb), 0), min(max(xa, xb), self.width)
+        y_lo, y_hi = max(min(ya, yb), 0), min(max(ya, yb), self.height)
+        if x_hi > x_lo and y_hi > y_lo:
+            self.image[y_lo:y_hi, x_lo:x_hi] = color.as_array()
 
     # --- Waveforms (reference Graph.cpp:69-150) -----------------------------
     def draw_waveform(self, data, rect: Optional[Rect] = None,
@@ -182,11 +243,21 @@ class Graph:
                                   hue=360.0 * i / len(datas))
 
     # --- Functions (reference Graph.cpp:232-330) ----------------------------
-    def draw_function(self, f: Callable, domain: Optional[Interval] = None,
+    def draw_function(self, f, domain: Optional[Interval] = None,
                       plane: int = ALL_PLANES,
                       color: Optional[Color] = None) -> None:
+        """f: callable over x, or a sequence of (x, y) points which are
+        linearly interpolated with a domain exactly fitting the points
+        (reference Graph.cpp:260-269 overload via interpolate_points)."""
         if color is None:
             color = Color.black()
+        if not callable(f):
+            pts = np.asarray(f, np.float64)
+            order = np.argsort(pts[:, 0])
+            px, py_ = pts[order, 0], pts[order, 1]
+            if domain is None:
+                domain = Interval(float(px[0]), float(px[-1]))
+            f = lambda x: np.interp(x, px, py_)  # noqa: E731
         for _, view in self._active_views(
                 Rect(-np.inf, -np.inf, np.inf, np.inf)
                 if domain is None else
@@ -212,19 +283,52 @@ class Graph:
             mask = (rows >= y0[None, :]) & (rows <= y1[None, :]) & ok[None, :]
             self.image[:, : self.width - 1][mask] = color.as_array()
 
-    def draw_points(self, points: Sequence[Tuple[float, float]],
-                    plane: int = ALL_PLANES,
-                    color: Optional[Color] = None, radius: int = 1) -> None:
-        if color is None:
-            color = Color.black()
+    def draw_functions(self, fs: Sequence[Callable],
+                       domains: Optional[Sequence[Interval]] = None,
+                       plane: int = ALL_PLANES) -> None:
+        """Graph each function with maximally spaced hues (reference
+        Graph.cpp:271-281: hue = 360*f/len, from_hsv(hue, 1, 1); a domain
+        list shorter than fs falls back to the full real line)."""
+        domains = domains or []
+        for i, f in enumerate(fs):
+            dom = domains[i] if i < len(domains) else None
+            self.draw_function(f, dom, plane,
+                               Color.from_hsv(360.0 * i / len(fs), 1.0, 1.0))
+
+    def draw_point(self, p: Tuple[float, float], radius: int = 6,
+                   plane: int = ALL_PLANES,
+                   color: Optional[Color] = None) -> None:
+        """Filled disc with view-independent pixel radius, clamped to each
+        view's V rect (reference Graph.cpp:535-564: per-column vertical
+        spans of height floor(sqrt(r^2 - dx^2)))."""
+        color = color or Color.black()
+        x, y = p
         for _, view in self._active_views(
                 Rect(-np.inf, -np.inf, np.inf, np.inf), plane):
-            for (x, y) in points:
-                px = int(round(view.x_u_to_v(x)))
-                py = int(round(view.y_u_to_v(y)))
-                self.image[max(py - radius, 0):py + radius + 1,
-                           max(px - radius, 0):px + radius + 1] = \
-                    color.as_array()
+            xm = int(round(view.x_u_to_v(x)))
+            ym = int(round(view.y_u_to_v(y)))
+            vx0, vx1 = int(view.V.x1), int(view.V.x2) - 1
+            vy0, vy1 = int(view.V.y1), int(view.V.y2) - 1
+            xs = np.arange(np.clip(xm - radius, vx0, vx1),
+                           np.clip(xm + radius, vx0, vx1) + 1)
+            if xs.size == 0:
+                continue
+            off = np.floor(np.sqrt(np.maximum(
+                radius * radius - (xs - xm) ** 2, 0))).astype(np.int64)
+            y_lo = np.clip(ym - off, max(vy0, 0), vy1)
+            y_hi = np.clip(ym + off, vy0, min(vy1, self.height - 1))
+            rows = np.arange(self.height)[:, None]
+            in_x = (xs >= 0) & (xs < self.width)
+            mask = (rows >= y_lo[None, :]) & (rows <= y_hi[None, :]) \
+                & in_x[None, :]
+            rr, cc = np.nonzero(mask)
+            self.image[rr, xs[cc]] = color.as_array()
+
+    def draw_points(self, points: Sequence[Tuple[float, float]],
+                    radius: int = 6, plane: int = ALL_PLANES,
+                    color: Optional[Color] = None) -> None:
+        for p in points:
+            self.draw_point(p, radius, plane, color)
 
     # --- Axes / grids / ticks (reference Graph.cpp:333-430) -----------------
     def draw_axes(self, plane: int = ALL_PLANES,
@@ -276,6 +380,40 @@ class Graph:
             ys = np.arange(start, view.U.y2, spacing)
             self._grid_lines(ys, view, False, color)
 
+    def draw_linear_grid(self, x_spacing: float = 1.0, y_spacing: float = 1.0,
+                         plane: int = ALL_PLANES,
+                         color: Optional[Color] = None) -> None:
+        """Both grids at once (reference Graph.cpp:393-397)."""
+        self.draw_linear_grid_x(x_spacing, plane, color)
+        self.draw_linear_grid_y(y_spacing, plane, color)
+
+    def draw_log_grid_y(self, spacing: float = 1.0,
+                        lines_per_step: int = 10,
+                        plane: int = ALL_PLANES,
+                        color: Optional[Color] = None) -> None:
+        """Horizontal log-subdivided grid (reference Graph.cpp:429-458).
+        Preserves the reference's literal subdivision formula
+        y = y_cell + log(1+step)/log(lines_per_step), which is NOT scaled
+        by `spacing` — subdivisions only fill the cell when spacing == 1
+        (documented upstream quirk)."""
+        color = color or Color.black()
+        if spacing <= 0:
+            return
+        for _, view in self._active_views(
+                Rect(-np.inf, -np.inf, np.inf, np.inf), plane):
+            y_start = math.floor(view.U.y1 / spacing) * spacing
+            y_end = math.ceil(view.U.y2 / spacing) * spacing
+            ys = []
+            y_cell = y_start
+            while y_cell <= y_end:
+                for step in range(int(lines_per_step)):
+                    y = y_cell + math.log(1.0 + step) / math.log(
+                        lines_per_step)
+                    if view.U.y1 <= y < view.U.y2:
+                        ys.append(y)
+                y_cell += spacing
+            self._grid_lines(ys, view, False, color)
+
     def draw_log_grid_x(self, spacing: float, base: float,
                         plane: int = ALL_PLANES,
                         color: Optional[Color] = None) -> None:
@@ -292,6 +430,62 @@ class Graph:
                         xs.append(x)
                 cell += spacing
             self._grid_lines(xs, view, True, color)
+
+    # digit stroke paths in a unit box, x1=.15 x2=.85 (reference
+    # Graph.cpp:646-690); -1 = minus sign, 10 = decimal dot
+    _DIGIT_PATHS = {
+        -1: [(.15, .5), (.85, .5)],
+        0: [(.15, 0), (.85, 0), (.85, 1), (.15, 1), (.15, 0), (.15, 1)],
+        1: [(.5, 0), (.5, 1)],
+        2: [(.15, 1), (.85, 1), (.85, .5), (.15, .5), (.15, 0), (.85, 0)],
+        3: [(.15, 1), (.85, 1), (.85, .5), (.15, .5), (.85, .5), (.85, 0),
+            (.15, 0)],
+        4: [(.15, 1), (.15, .5), (.85, .5), (.85, 1), (.85, 0)],
+        5: [(.85, 1), (.15, 1), (.15, .5), (.85, .5), (.85, 0), (.15, 0)],
+        6: [(.85, 1), (.15, 1), (.15, 0), (.85, 0), (.85, .5), (.15, .5)],
+        7: [(.15, 1), (.85, 1), (.5, 0)],
+        8: [(.85, .5), (.85, 1), (.15, 1), (.15, 0), (.85, 0), (.85, .5),
+            (.15, .5)],
+        9: [(.85, .5), (.15, .5), (.15, 1), (.85, 1), (.85, 0)],
+        10: [(.4, 0), (.6, 0), (.6, .2), (.4, .2), (.4, 0)],
+    }
+
+    def draw_float(self, pos: Tuple[float, float], digit_width: int,
+                   digit_height: int, number: float,
+                   plane: int = ALL_PLANES,
+                   color: Optional[Color] = None) -> None:
+        """Primitive stroked-path numeral rendering (reference
+        Graph.cpp:596-693): optional minus, whole digits, a dot glyph, and
+        exactly three fractional digits from round(frac*1000); a digit box
+        leaving the view's U rect aborts the remaining digits."""
+        color = color or Color.black()
+        negative = number < 0
+        number = abs(number)
+        q = int(math.floor(number))
+        r = int(round((number - q) * 1000.0))
+        digits: List[int] = [-1] if negative else []
+        digits += [int(c) for c in str(q)]
+        digits.append(10)
+        digits += [int(c) for c in f"{r:03d}"]
+        x, y = pos
+        for _, view in self._active_views(
+                Rect(-np.inf, -np.inf, np.inf, np.inf), plane):
+            w = float(view.w_v_to_u(digit_width))
+            h = float(view.h_v_to_u(digit_height))
+            x_pos = x
+            for d in digits:
+                box = Rect(x_pos, y, x_pos + w, y + h)
+                clipped = box.intersect(view.U)
+                if (clipped.x1, clipped.y1, clipped.x2, clipped.y2) != (
+                        box.x1, box.y1, box.x2, box.y2):
+                    break  # reference bails once a digit leaves the view
+                ps = self._DIGIT_PATHS.get(
+                    d, [(.15, 0), (.85, 0), (.15, 1), (.85, 1), (.15, 0)])
+                for (ax, ay), (bx, by) in zip(ps[:-1], ps[1:]):
+                    self.draw_line_segment(
+                        view, box.x1 + box.w * ax, box.y1 + box.h * ay,
+                        box.x1 + box.w * bx, box.y1 + box.h * by, color)
+                x_pos += w
 
     def draw_x_ticks(self, jump: float, y: float = 0.0,
                      offset: float = 0.0, size: float = 4.0,

@@ -78,6 +78,14 @@ class View:
     def y_v_to_u(self, py):
         return self.U.y1 + (self.V.y2 - np.asarray(py)) / self.V.h * self.U.h
 
+    def w_v_to_u(self, px):
+        """Pixel width -> plane width (reference View.h wVToU)."""
+        return np.asarray(px) / self.V.w * self.U.w
+
+    def h_v_to_u(self, px):
+        """Pixel height -> plane height (reference View.h hVToU)."""
+        return np.asarray(px) / self.V.h * self.U.h
+
 
 @dataclass(frozen=True)
 class Color:

@@ -114,3 +114,158 @@ def test_draw_function_scalar_only_callable():
     # identity line: at x=+0.5 (pixel 96) the lit row is near y=+0.5
     lit = np.nonzero(img[:, 96].max(axis=-1) > 200)[0]
     assert abs(lit.mean() - (32 - 0.5 * 32)) < 6
+
+
+# --- Round-5 Graph tail (reference Graph.h:207,232,256,262,272) -----------
+
+def _fresh(w=256, h=128, view=(-1, -1, 1, 1)):
+    from flan_tpu import Rect
+    g = Graph(w, h)
+    g.set_view(Rect(*view))
+    g.fill_image(Color.black())
+    return g
+
+
+def test_draw_point_disc():
+    g = _fresh()
+    g.draw_point((0.0, 0.0), radius=10, color=Color.white())
+    img = g.to_uint8().max(axis=-1) > 200
+    ys, xs = np.nonzero(img)
+    cx, cy = xs.mean(), ys.mean()
+    # filled disc: area ~ pi*r^2, roughly round (extent ~2r both axes)
+    assert 250 < img.sum() < 420
+    assert 18 <= xs.max() - xs.min() <= 22
+    assert 18 <= ys.max() - ys.min() <= 22
+    # all lit pixels within radius+1.5 of the centroid
+    assert np.all(np.hypot(xs - cx, ys - cy) <= 11.5)
+
+
+def test_draw_points_calls_draw_point():
+    g = _fresh()
+    g.draw_points([(-0.5, -0.5), (0.5, 0.5)], radius=4, color=Color.white())
+    img = g.to_uint8().max(axis=-1) > 200
+    # two separate discs
+    assert 2 * 30 < img.sum() < 2 * 90
+    assert img[:, :128].sum() > 20 and img[:, 128:].sum() > 20
+
+
+def test_draw_functions_spaced_hues():
+    g = _fresh()
+    g.draw_functions([lambda x: 0.5 * x, lambda x: -0.5 * x,
+                      lambda x: 0.25 + 0 * x])
+    img = g.to_uint8()
+    lit = img.max(axis=-1) > 100
+    assert lit.sum() > 3 * 200
+    # hue 0 (red) and hue 120 (green) and hue 240 (blue) all appear
+    reds = (img[..., 0] > 150) & (img[..., 1] < 80) & (img[..., 2] < 80)
+    greens = (img[..., 1] > 150) & (img[..., 0] < 80) & (img[..., 2] < 80)
+    blues = (img[..., 2] > 150) & (img[..., 0] < 80) & (img[..., 1] < 80)
+    assert reds.any() and greens.any() and blues.any()
+
+
+def test_draw_function_from_points():
+    # the vector<vec2> overload: linear interpolation, domain fits points
+    g = _fresh()
+    g.draw_function([(-0.5, -0.5), (0.5, 0.5)], color=Color.white())
+    img = g.to_uint8().max(axis=-1) > 200
+    cols = np.nonzero(img.any(axis=0))[0]
+    # drawn only inside the point domain [-0.5, 0.5] -> pixels [64, 192]
+    assert cols.min() >= 60 and cols.max() <= 196
+    # diagonal: lit row rises with column
+    first_rows = np.array([np.nonzero(img[:, c])[0].mean()
+                           for c in cols[2:-2]])
+    assert first_rows[0] > first_rows[-1]  # y up = row down
+
+
+def test_draw_linear_grid_both_axes():
+    from flan_tpu import Rect
+    g = _fresh(view=(-2, -2, 2, 2))
+    g.draw_linear_grid(1.0, 1.0, color=Color.white())
+    img = g.to_uint8().max(axis=-1) > 200
+    full_cols = np.nonzero(img.all(axis=0))[0]
+    full_rows = np.nonzero(img.all(axis=1))[0]
+    assert len(full_cols) >= 3 and len(full_rows) >= 3
+
+
+def test_draw_log_grid_y_reference_quirk():
+    # subdivisions use log(1+step)/log(lines_per_step) UNSCALED by spacing
+    g = _fresh(view=(0, 0, 1, 1))
+    g.draw_log_grid_y(1.0, 10, color=Color.white())
+    img = g.to_uint8().max(axis=-1) > 200
+    rows = np.nonzero(img.all(axis=1))[0]
+    # log-spaced: lines bunch toward the top of the unit cell (y->1 is
+    # row->0); expect ~9 distinct lines in-view
+    assert 6 <= len(rows) <= 12
+    ys = 1.0 - rows / (g.height - 1)
+    # step 9 lands exactly on y=1.0 which is excluded (y < U.y2)
+    expected = np.log(1.0 + np.arange(1, 9)) / np.log(10.0)
+    for e in expected[2:]:
+        assert np.min(np.abs(ys - e)) < 0.03
+
+
+def test_draw_float_digits():
+    g = _fresh(512, 128, view=(0, 0, 8, 2))
+    g.draw_float((0.5, 0.5), 24, 48, -12.5, color=Color.white())
+    img = g.to_uint8().max(axis=-1) > 200
+    # minus, '1', '2', dot, '5', '0', '0' -> seven glyph cells of lit
+    # strokes; sanity: lit pixels spread over ~7 cell widths
+    assert img.sum() > 200
+    cols = np.nonzero(img.any(axis=0))[0]
+    assert cols.max() - cols.min() > 5 * 24
+    # '1' is a single vertical stroke: some column has a tall run
+    col_runs = img.sum(axis=0)
+    assert col_runs.max() >= 40
+
+
+def test_draw_float_clips_at_view_edge():
+    g = _fresh(128, 64, view=(0, 0, 1, 1))
+    g.draw_float((0.9, 0.2), 32, 24, 123.0, color=Color.white())
+    img = g.to_uint8().max(axis=-1) > 200
+    # first digit box already leaves U -> nothing drawn
+    assert img.sum() == 0
+
+
+def test_primitive_segments():
+    from flan_tpu import Rect, View
+    g = _fresh()
+    view = g.views[0][1]
+    g.draw_horizontal_line(view, -1.0, 1.0, 0.5, Color.white())
+    g.draw_vertical_line(view, -1.0, 1.0, 0.5, Color.white())
+    g.draw_line_segment(view, -1.0, -1.0, 1.0, 1.0, Color.white())
+    g.set_rect(view, Rect(-0.9, -0.9, -0.6, -0.6), Color.white())
+    g.set_point(view, 0.0, 0.0, Color.white())
+    img = g.to_uint8().max(axis=-1) > 200
+    assert img[32, :].all()       # horizontal at y=0.5 -> row 32
+    assert img[:, 192].all()      # vertical at x=0.5 -> col 192
+    assert img.sum() > 256 + 128 + 200
+
+
+def test_function_convert_to_graph_and_bmp(tmp_path):
+    from flan_tpu import Function
+    f = Function(lambda x: np.sin(x))
+    g = f.convert_to_graph()
+    img = g.to_uint8()
+    # white background, grey unit grid, black curve
+    assert (img.min(axis=-1) > 240).mean() > 0.5
+    assert (img.max(axis=-1) < 40).sum() > 200
+    p = str(tmp_path / "f.bmp")
+    f.save_to_bmp(p)
+    assert open(p, "rb").read()[:2] == b"BM"
+
+
+def test_function_distributions():
+    from flan_tpu import Function
+    u = Function.uniform_distribution(lambda t: t, lambda t: t + 1.0,
+                                      seed=7)
+    xs = np.full(4096, 2.0, np.float32)
+    vals = np.asarray(u(xs))
+    assert vals.min() >= 2.0 and vals.max() <= 3.0
+    assert 2.4 < vals.mean() < 2.6
+    nrm = Function.normal_distribution(1.0, 0.1, seed=7)
+    v = np.asarray(nrm(xs))
+    assert 0.95 < v.mean() < 1.05 and 0.05 < v.std() < 0.15
+    # sigma <= 0 short-circuits to the mean (reference quirk)
+    degenerate = Function.normal_distribution(3.0, 0.0, seed=1)
+    assert np.allclose(np.asarray(degenerate(xs)), 3.0)
+    # camelCase aliases bound
+    assert Function.uniformDistribution is Function.uniform_distribution

@@ -2,9 +2,10 @@
 
 Parses the public method declarations out of the reference's class headers
 (reference: src/flan/Audio/Audio.h, PV/PV.h, SPV/SPV.h, SQPV/SQPV.h,
-Wavetable.h) and checks that every method has an equivalent attribute on
-the corresponding flan_tpu class. Deliberate absences and renames live in
-the explicit allowlists below, each with the reason.
+Wavetable.h, Graph.h, Function.h) and checks that every method has an
+equivalent attribute on the corresponding flan_tpu class, plus Function.h's
+free-function surface (ADSR, waveforms). Deliberate absences and renames
+live in the explicit allowlists below, each with the reason.
 
 Run directly (`python tools/parity_audit.py`) or via
 tests/test_api_parity.py, which fails CI on any new gap.
@@ -22,6 +23,8 @@ REF = os.environ.get("FLAN_REFERENCE", "/root/reference")
 _STOPWORDS = {
     "if", "for", "while", "switch", "return", "static_assert", "sizeof",
     "defined", "decltype", "alignof", "assert", "operator",
+    # C++ type keywords that appear as casts in member initializers
+    "float", "int", "double", "bool", "size_t", "uint32_t",
 }
 
 # methods that legitimately have no flan_tpu equivalent, with reasons
@@ -34,6 +37,12 @@ ALLOW_MISSING: Dict[str, Dict[str, str]] = {
     "SPV": {},
     "SQPV": {},
     "Wavetable": {},
+    "Graph": {},
+    "Function": {
+        "get_execution_policy": "ExecutionPolicy eliminated by design "
+                                "(SURVEY §7: XLA owns scheduling; "
+                                "docs/PARITY.md row 2)",
+    },
 }
 
 # declared in the reference headers but commented out upstream (dormant);
@@ -82,7 +91,7 @@ def parse_header_methods(path: str, class_name: str) -> Set[str]:
             # the SQPV headers are entirely commented out upstream; strip
             # the comment prefix so the dormant API is still audited
             line = re.sub(r"^//\s?", "", line)
-            if re.match(rf"class\s+{class_name}\b", line):
+            if re.match(rf"(?:class|struct)\s+{class_name}\b", line):
                 in_class = True
                 depth = 0
             if not in_class:
@@ -119,6 +128,8 @@ def flan_class(name: str):
         "SPV": flan_tpu.SPV,
         "SQPV": flan_tpu.SQPV,
         "Wavetable": flan_tpu.Wavetable,
+        "Graph": flan_tpu.Graph,
+        "Function": flan_tpu.Function,
     }[name]
 
 
@@ -128,7 +139,32 @@ HEADERS: List[Tuple[str, str]] = [
     ("SPV", "src/flan/SPV/SPV.h"),
     ("SQPV", "src/flan/SQPV/SQPV.h"),
     ("Wavetable", "src/flan/Wavetable.h"),
+    ("Graph", "src/flan/Graph.h"),
+    ("Function", "src/flan/Function.h"),
 ]
+
+# Function.h's free-function surface (outside the struct): reference name
+# -> required attribute path under the flan_tpu package
+FREE_FUNCTIONS: List[Tuple[str, str]] = [
+    ("ADSR (Function.h:281)", "adsr"),
+    ("waveforms::sine (Function.h:294)", "waveforms.sine"),
+    ("waveforms::square (Function.h:295)", "waveforms.square"),
+    ("waveforms::saw (Function.h:296)", "waveforms.saw"),
+    ("waveforms::triangle (Function.h:297)", "waveforms.triangle"),
+]
+
+
+def _free_function_gaps() -> List[str]:
+    import flan_tpu
+    missing = []
+    for ref_name, attr_path in FREE_FUNCTIONS:
+        obj = flan_tpu
+        try:
+            for part in attr_path.split("."):
+                obj = getattr(obj, part)
+        except AttributeError:
+            missing.append(f"{ref_name} -> flan_tpu.{attr_path}")
+    return missing
 
 
 def audit() -> Tuple[Dict[str, List[str]], Dict[str, List[str]]]:
@@ -159,6 +195,9 @@ def audit() -> Tuple[Dict[str, List[str]], Dict[str, List[str]]]:
             gaps[cls_name] = missing
         if dorm:
             dormant_gaps[cls_name] = dorm
+    free = _free_function_gaps()
+    if free:
+        gaps["<free functions>"] = free
     return gaps, dormant_gaps
 
 
