@@ -634,16 +634,20 @@ def _granulate_batched(self, times: np.ndarray, sels: np.ndarray,
     # through the remote transport (granulate measured 40x before)
     L = int(lens.max())
     out_n = int((starts_out + lens).max())
-    meta = np.stack([s0, lens, sf, ef, starts_out // 128,
-                     starts_out % 128]).astype(np.int32)
     plan = None
     if _RENDER_MODE == "planned":
         plan = _mix_plan(starts_out // 128, L, out_n)
     if plan is not None:
+        # the planned render folds alignment into the gather and needs
+        # only 5 control rows (no starts_out//128: the plan encodes it)
+        meta = np.stack([s0, lens, sf, ef,
+                         starts_out % 128]).astype(np.int32)
         data = _granulate_render_planned(
             self.data, jnp.asarray(meta), jnp.asarray(plan),
             L=L, out_n=out_n, envelope=envelope)
     else:
+        meta = np.stack([s0, lens, sf, ef, starts_out // 128,
+                         starts_out % 128]).astype(np.int32)
         data = _granulate_render(
             self.data, jnp.asarray(meta),
             L=L, out_n=out_n, envelope=envelope)
@@ -662,13 +666,23 @@ _RENDER_MODE = "planned"
 # stop paying for themselves and the scatter form takes over.
 _PLAN_MAX_K = 32
 
+# Total-plan-size cap (int32 elements): the [nblk_out, K] plan ships
+# host->device every call, and multi-MB transfers cost 100s of ms
+# through the remote tunnel (CLAUDE.md) — a minutes-long dense output
+# with K near 32 would erase the planned render's 1.6x win. 1.5M int32
+# = 6 MB; beyond it the scatter render (device-built indices) wins.
+_PLAN_MAX_ELEMS = 1_500_000
+
 
 def _mix_plan(q: np.ndarray, g_n: int, out_n: int):
     """Host-side mix plan for _granulate_render_planned: rows[r] is the
     128-lane block row g*nblk_g + b of grain g; plan[o, k] lists the ≤K
     rows landing on output block o (sentinel R = the appended zero row).
-    Returns None when the max overlap exceeds _PLAN_MAX_K (fall back to
-    the scatter mixer)."""
+    K is bucketed up to the next power of two (sentinel-padded columns)
+    so fluctuating overlap across calls reuses one compiled shape instead
+    of retracing through the remote compile server. Returns None when the
+    max overlap exceeds _PLAN_MAX_K or the plan itself would exceed
+    _PLAN_MAX_ELEMS (fall back to the scatter mixer)."""
     block = 128
     nblk_g = -(-(g_n + block - 1) // block)
     ids = (q.astype(np.int64)[:, None]
@@ -679,11 +693,14 @@ def _mix_plan(q: np.ndarray, g_n: int, out_n: int):
     k = int(counts.max()) if r_total else 1
     if k > _PLAN_MAX_K:
         return None
+    k_pad = 1 << max(k - 1, 0).bit_length()   # next power of two >= k
+    if nblk_out * k_pad > _PLAN_MAX_ELEMS:
+        return None
     order = np.argsort(ids, kind="stable")
     ids_s = ids[order]
     offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
     rank = np.arange(r_total) - offs[ids_s]
-    plan = np.full((nblk_out, k), r_total, np.int32)
+    plan = np.full((nblk_out, k_pad), r_total, np.int32)
     plan[ids_s, rank] = order
     return plan
 
@@ -699,9 +716,11 @@ def _granulate_render_planned(x, meta, plan, *, L: int, out_n: int,
     outermost end-to-end (no [G, C, L] transposes), and (3) the
     data-dependent scatter-add mixer becomes K accumulating row gathers
     driven by the host-built plan (_mix_plan). Reference semantics
-    unchanged: AudioSynthesis.cpp:572-609 cut/fade/mix."""
+    unchanged: AudioSynthesis.cpp:572-609 cut/fade/mix. meta carries the
+    five rows this path reads (s0, lens, sf, ef, r_off = starts % 128);
+    the legacy render's q row is not packed here."""
     s0, lens, sf, ef, r_off = (meta[0], meta[1], meta[2], meta[3],
-                               meta[5])
+                               meta[4])
     n = x.shape[-1]
     g_c = x.shape[0]
     block = 128

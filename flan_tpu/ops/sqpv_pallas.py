@@ -62,10 +62,25 @@ _F = 128   # frames per tile: one MXU-tile of prefix accumulation
 _PREFIX_MODE = None
 _PREFIX_MODE_FWD = "matmul"
 _PREFIX_MODE_INV = "cumsum"
+_PREFIX_MODES = ("matmul", "split3", "cumsum")
+
+
+def _resolve_prefix_mode(default: str) -> str:
+    """Per-kernel default unless _PREFIX_MODE is explicitly set (None is
+    the only 'unset' value — an empty string from a sweep script is an
+    error, not a fallthrough), validated against the known modes."""
+    mode = _PREFIX_MODE if _PREFIX_MODE is not None else default
+    if mode not in _PREFIX_MODES:
+        raise ValueError(
+            f"unknown SQPV prefix mode {mode!r}; expected one of "
+            f"{_PREFIX_MODES}")
+    return mode
 
 
 def _prefix_f(v, tri, precision, mode):
     """Inclusive prefix sum of v [F, Bp] along axis 0 (rows)."""
+    if mode not in _PREFIX_MODES:
+        raise ValueError(f"unknown SQPV prefix mode {mode!r}")
     if mode == "matmul":
         return jnp.dot(tri, v, preferred_element_type=jnp.float32,
                        precision=precision)
@@ -233,7 +248,7 @@ def sqpv_forward_fused(x, *, sample_rate: float, bins_per_octave: float,
         bins_per_octave=float(bins_per_octave),
         bandwidth=(float(bandwidth[0]), float(bandwidth[1])),
         precision=precision,
-        prefix_mode=_PREFIX_MODE or _PREFIX_MODE_FWD)
+        prefix_mode=_resolve_prefix_mode(_PREFIX_MODE_FWD))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -357,7 +372,7 @@ def sqpv_inverse_fused(mag, pitch, positive, *, sample_rate: float,
         bins_per_octave=float(bins_per_octave),
         bandwidth=(float(bandwidth[0]), float(bandwidth[1])),
         precision=precision,
-        prefix_mode=_PREFIX_MODE or _PREFIX_MODE_INV)
+        prefix_mode=_resolve_prefix_mode(_PREFIX_MODE_INV))
 
 
 @functools.partial(jax.jit, static_argnames=(
