@@ -23,6 +23,11 @@ sed 's/std::string \([a-z_]*\) = "";/std::string \1;/' \
 # and sort/unique comparator lambdas taking non-const refs -> const refs.
 sed 's/std::_Pi/3.14159265358979323846f/' \
     "$REF/src/flan/PV/PV.h" > "$BUILD/flan/PV/PV.h"
+# AudioFilter.cpp uses MSVC's std::_Pi in the Hilbert pole design
+# (AudioFilter.cpp:1109-1140); same build-time-shadow substitution
+# (double precision there).
+sed 's/std::_Pi/3.14159265358979323846/g' \
+    "$REF/src/flan/Audio/AudioFilter.cpp" > "$BUILD/AudioFilter_patched.cpp"
 sed -e 's/\[\]( FramePair & a, FramePair & b )/[]( const FramePair \& a, const FramePair \& b )/' \
     -e 's/\[\]( BinMag & a, BinMag & b )/[]( const BinMag \& a, const BinMag \& b )/' \
     "$REF/src/flan/PV/PV.cpp" > "$BUILD/PV_patched.cpp"
@@ -58,6 +63,7 @@ g++ -std=c++20 -O2 -I "$BUILD" -I "$REF/src" -I "$HERE/stubs" \
     "$REF/src/flan/Audio/AudioConversions.cpp" \
     "$REF/src/flan/Audio/AudioCombination.cpp" \
     "$REF/src/flan/Audio/AudioVolume.cpp" \
+    "$BUILD/AudioFilter_patched.cpp" \
     "$REF/src/r8brain/r8bbase.cpp" \
     "$REF/src/flan/SPV/SPV.cpp" \
     "$REF/src/flan/SPV/SPVBuffer.cpp" \
