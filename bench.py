@@ -138,6 +138,38 @@ def _mfu_fields(compiled, best_s, flops_model=None):
     return out
 
 
+def _numerics_fields():
+    """On-chip SNR gates run in the SAME session as the headline timing
+    (VERDICT round 4 item 2): the driver-recorded number must carry
+    fidelity evidence — a dropped precision=HIGH ships green and fast on
+    the forced-CPU suite but collapses the FFT gate to ~51 dB on the
+    chip (CLAUDE.md measurement rules). Gates: the MXU rfft vs numpy,
+    the polyphase resampler vs the analytic sine, and the stretch
+    integration gate over the whole headline path (committed thresholds
+    in tools/tpu_smoke.py GATES). numerics_ok false (or a gate
+    exception) marks the value unproven; main() then refuses to record
+    it as BENCH_LAST_GOOD."""
+    import os
+    import sys as _sys
+    tools = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools")
+    if tools not in _sys.path:
+        _sys.path.insert(0, tools)
+    out = {"snr_db": {}, "numerics_ok": True}
+    try:
+        import tpu_smoke
+        for name in ("fft", "resample", "stretch"):
+            fn, thresh = tpu_smoke.GATES[name]
+            val = float(fn())
+            out["snr_db"][name] = round(val, 1)
+            if val < thresh:
+                out["numerics_ok"] = False
+    except Exception as e:  # noqa: BLE001 - record, don't lose the timing
+        out["numerics_ok"] = False
+        out["numerics_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
+
+
 def bench_headline():
     """Config 2 / north star: PV 2x stretch, 10-min stereo 48 kHz."""
     import jax
@@ -165,6 +197,7 @@ def bench_headline():
     out.update(_mfu_fields(
         compiled, best,
         flops_model=_stretch_flops_model(x.shape[-1], 2.0)))
+    out.update(_numerics_fields())
     return out
 
 
@@ -473,9 +506,12 @@ def main():
                 line = out[-1]
                 print(line)
                 try:
-                    with open(os.path.join(here, _LAST_GOOD), "w") as f:
-                        f.write(line + "\n")
-                except OSError:
+                    # a value whose fidelity gates failed (or never ran)
+                    # must not become the stale-fallback "good" value
+                    if json.loads(line).get("numerics_ok", False):
+                        with open(os.path.join(here, _LAST_GOOD), "w") as f:
+                            f.write(line + "\n")
+                except (OSError, ValueError):
                     pass
                 return
             last_err = (r.stderr or "")[-300:]

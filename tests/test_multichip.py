@@ -237,3 +237,28 @@ def test_morph_sp_streamed_matches_single_chip(mesh):
     m = min(y_ref.shape[-1], y_sp.shape[-1])
     np.testing.assert_allclose(np.asarray(y_sp[:, :m]),
                                np.asarray(y_ref[:, :m]), atol=5e-3)
+
+
+def test_convolve_sp_matches_single(mesh):
+    """Time-domain halo-exchange convolution (parallel/conv_sp.py) vs the
+    single-chip MXU overlap-save core, including the final-tail handoff
+    (reference analog: AudioCombination.cpp:299-353)."""
+    from flan_tpu.ops.fft_conv import fft_convolve_full
+    from flan_tpu.parallel.conv_sp import convolve_sp
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 8 * 300 + 17))
+                    .astype(np.float32))
+    ir = jnp.asarray((rng.standard_normal((2, 64)).astype(np.float32)
+                      * np.exp(-np.arange(64, dtype=np.float32) / 16)))
+    got = convolve_sp(x, ir, mesh, axis="sp")
+    ref = fft_convolve_full(x, ir)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_convolve_sp_rejects_oversized_tail(mesh):
+    from flan_tpu.parallel.conv_sp import convolve_sp
+    x = jnp.zeros((1, 80), jnp.float32)    # 10-sample shards on 8 devices
+    ir = jnp.zeros((1, 64), jnp.float32)
+    with pytest.raises(ValueError):
+        convolve_sp(x, ir, mesh, axis="sp")
