@@ -75,14 +75,19 @@ class Audio(AudioBuffer):
     @staticmethod
     def load_from_file(filename: str,
                        return_strings: bool = False):
-        """Load WAV or FLAC, sniffed by stream magic (reference
-        AudioConstructors.cpp:35; libsndfile format dispatch
+        """Load WAV, FLAC, or AIFF/AIFF-C, sniffed by stream magic
+        (reference AudioConstructors.cpp:35; libsndfile format dispatch
         AudioBuffer.cpp:86-117)."""
         with open(filename, "rb") as f:
-            magic = f.read(4)
+            head = f.read(12)
+        magic = head[:4]
         if magic == b"fLaC":
             from flan_tpu.io.flac import read_flac
             data, sr = read_flac(filename)
+            strings = SndfileStrings()
+        elif magic == b"FORM" and head[8:12] in (b"AIFF", b"AIFC"):
+            from flan_tpu.io.aiff import read_aiff
+            data, sr = read_aiff(filename)
             strings = SndfileStrings()
         else:
             from flan_tpu.io.wav import read_wav
@@ -92,11 +97,16 @@ class Audio(AudioBuffer):
 
     def save_to_file(self, filename: str,
                      strings: Optional[SndfileStrings] = None) -> None:
-        """Save WAV float32, or FLAC for a .flac filename (reference
-        AudioBuffer.cpp:139-190)."""
-        if filename.lower().endswith(".flac"):
+        """Save WAV float32, FLAC for a .flac filename, or AIFF-C float32
+        for .aiff/.aif/.aifc (reference AudioBuffer.cpp:139-190)."""
+        low = filename.lower()
+        if low.endswith(".flac"):
             from flan_tpu.io.flac import write_flac
             write_flac(filename, np.asarray(self.data), self.sample_rate)
+            return
+        if low.endswith((".aiff", ".aif", ".aifc")):
+            from flan_tpu.io.aiff import write_aiff
+            write_aiff(filename, np.asarray(self.data), self.sample_rate)
             return
         from flan_tpu.io.wav import write_wav
         write_wav(filename, np.asarray(self.data), self.sample_rate, strings)

@@ -57,3 +57,79 @@ def test_flan_roundtrip(tmp_path):
     # 24-bit truncation (1 LSB) plus float32 rounding headroom
     assert np.max(np.abs(mag - m2)) <= dft / (1 << 23) * 2
     assert np.max(np.abs(freq - f2)) <= 48000 / (1 << 23) * 2
+
+
+# --- AIFF / AIFF-C codec (io/aiff.py; reference reads every libsndfile
+# format, AudioBuffer.cpp:86-117) --------------------------------------
+
+def _aiff_sig(channels=2, n=977):
+    rng = np.random.default_rng(5)
+    return (0.8 * rng.standard_normal((channels, n))).clip(-1, 1) \
+        .astype(np.float32)
+
+
+def test_aiff_float_roundtrip_lossless(tmp_path):
+    from flan_tpu.io.aiff import read_aiff, write_aiff
+    x = _aiff_sig()
+    p = str(tmp_path / "a.aiff")
+    write_aiff(p, x, 44100.0)           # default: AIFF-C fl32
+    y, sr = read_aiff(p)
+    assert sr == 44100.0
+    np.testing.assert_array_equal(y, x)
+    blob = open(p, "rb").read()
+    assert blob[:4] == b"FORM" and blob[8:12] == b"AIFC"
+
+
+@pytest.mark.parametrize("bits,tol", [(8, 1 / 128), (16, 1 / 32768),
+                                      (24, 1 / (1 << 23)),
+                                      (32, 1 / (1 << 24))])
+def test_aiff_pcm_roundtrip(tmp_path, bits, tol):
+    from flan_tpu.io.aiff import read_aiff, write_aiff
+    x = _aiff_sig(1)
+    p = str(tmp_path / f"p{bits}.aif")
+    write_aiff(p, x, 48000.0, bits=bits)
+    y, sr = read_aiff(p)
+    assert sr == 48000.0 and y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=tol * 1.01)
+    assert open(p, "rb").read()[8:12] == b"AIFF"
+
+
+def test_aiff_sowt_little_endian(tmp_path):
+    """'sowt' AIFF-C: 16-bit little-endian PCM (classic Mac variant)."""
+    import struct
+    from flan_tpu.io.aiff import _float_to_f80, read_aiff
+    x = _aiff_sig(1, 400)
+    q = np.clip(np.round(x.T * 32768.0), -32768, 32767).astype("<i2")
+    comm = (struct.pack(">hIh", 1, 400, 16) + _float_to_f80(22050.0)
+            + b"sowt" + b"\x00\x00")
+    ssnd = struct.pack(">II", 0, 0) + q.tobytes()
+    payload = (b"COMM" + struct.pack(">I", len(comm)) + comm
+               + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    p = str(tmp_path / "s.aifc")
+    with open(p, "wb") as f:
+        f.write(b"FORM" + struct.pack(">I", 4 + len(payload)) + b"AIFC"
+                + payload)
+    y, sr = read_aiff(p)
+    assert sr == 22050.0
+    np.testing.assert_allclose(y, x, atol=1.01 / 32768)
+
+
+def test_audio_aiff_dispatch(tmp_path):
+    """Audio.save_to_file/.load_from_file route .aiff by extension/magic."""
+    from flan_tpu import Audio
+    import jax.numpy as jnp
+    x = _aiff_sig()
+    a = Audio(data=jnp.asarray(x), sample_rate=32000.0)
+    p = str(tmp_path / "d.aif")
+    a.save_to_file(p)
+    b = Audio.load_from_file(p)
+    assert b.sample_rate == 32000.0
+    np.testing.assert_array_equal(np.asarray(b.data), x)
+
+
+def test_aiff_rejects_garbage(tmp_path):
+    from flan_tpu.io.aiff import read_aiff
+    p = str(tmp_path / "g.aiff")
+    open(p, "wb").write(b"not an aiff file at all.....")
+    with pytest.raises(ValueError):
+        read_aiff(p)
