@@ -75,7 +75,8 @@ class Audio(AudioBuffer):
     @staticmethod
     def load_from_file(filename: str,
                        return_strings: bool = False):
-        """Load WAV, FLAC, or AIFF/AIFF-C, sniffed by stream magic
+        """Load WAV, FLAC, AIFF/AIFF-C, or Ogg/Vorbis, sniffed by
+        stream magic
         (reference AudioConstructors.cpp:35; libsndfile format dispatch
         AudioBuffer.cpp:86-117)."""
         with open(filename, "rb") as f:
@@ -89,6 +90,10 @@ class Audio(AudioBuffer):
             from flan_tpu.io.aiff import read_aiff
             data, sr = read_aiff(filename)
             strings = SndfileStrings()
+        elif magic == b"OggS":
+            from flan_tpu.io.ogg import read_ogg
+            data, sr = read_ogg(filename)
+            strings = SndfileStrings()
         else:
             from flan_tpu.io.wav import read_wav
             data, sr, strings = read_wav(filename)
@@ -97,8 +102,9 @@ class Audio(AudioBuffer):
 
     def save_to_file(self, filename: str,
                      strings: Optional[SndfileStrings] = None) -> None:
-        """Save WAV float32, FLAC for a .flac filename, or AIFF-C float32
-        for .aiff/.aif/.aifc (reference AudioBuffer.cpp:139-190)."""
+        """Save WAV float32, FLAC for .flac, AIFF-C float32 for
+        .aiff/.aif/.aifc, or Ogg/Vorbis for .ogg/.oga (reference
+        AudioBuffer.cpp:139-190)."""
         low = filename.lower()
         if low.endswith(".flac"):
             from flan_tpu.io.flac import write_flac
@@ -107,6 +113,10 @@ class Audio(AudioBuffer):
         if low.endswith((".aiff", ".aif", ".aifc")):
             from flan_tpu.io.aiff import write_aiff
             write_aiff(filename, np.asarray(self.data), self.sample_rate)
+            return
+        if low.endswith((".ogg", ".oga")):
+            from flan_tpu.io.ogg import write_ogg
+            write_ogg(filename, np.asarray(self.data), self.sample_rate)
             return
         from flan_tpu.io.wav import write_wav
         write_wav(filename, np.asarray(self.data), self.sample_rate, strings)

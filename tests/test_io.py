@@ -133,3 +133,55 @@ def test_aiff_rejects_garbage(tmp_path):
     open(p, "wb").write(b"not an aiff file at all.....")
     with pytest.raises(ValueError):
         read_aiff(p)
+
+
+# --- Ogg/Vorbis via the system libvorbis (io/ogg.py) -------------------
+
+def _ogg_available():
+    from flan_tpu.io.ogg import available
+    return available()
+
+
+@pytest.mark.skipif(not _ogg_available(),
+                    reason="system libvorbis not present")
+def test_ogg_roundtrip_lossy(tmp_path):
+    from flan_tpu.io.ogg import read_ogg, write_ogg
+    sr = 44100.0
+    t = np.arange(int(sr), dtype=np.float32) / sr
+    x = np.stack([0.5 * np.sin(2 * np.pi * 440 * t),
+                  0.5 * np.sin(2 * np.pi * 660 * t)]).astype(np.float32)
+    p = str(tmp_path / "o.ogg")
+    write_ogg(p, x, sr, 0.5)
+    assert open(p, "rb").read(4) == b"OggS"
+    y, sr2 = read_ogg(p)
+    assert sr2 == sr and y.shape[0] == 2
+    n, g = min(x.shape[1], y.shape[1]), 2048
+    err = ((x[:, g:n - g] - y[:, g:n - g]) ** 2).mean()
+    sig = (x[:, g:n - g] ** 2).mean()
+    assert 10 * np.log10(sig / err) > 25.0   # lossy but faithful tones
+
+
+@pytest.mark.skipif(not _ogg_available(),
+                    reason="system libvorbis not present")
+def test_audio_ogg_dispatch(tmp_path):
+    from flan_tpu import Audio
+    import jax.numpy as jnp
+    sr = 48000.0
+    t = np.arange(int(sr), dtype=np.float32) / sr
+    a = Audio(data=jnp.asarray((0.4 * np.sin(2 * np.pi * 330 * t))[None]),
+              sample_rate=sr)
+    p = str(tmp_path / "d.ogg")
+    a.save_to_file(p)
+    b = Audio.load_from_file(p)
+    assert b.sample_rate == sr and b.num_channels == 1
+    assert abs(b.num_frames - a.num_frames) < 256
+
+
+@pytest.mark.skipif(not _ogg_available(),
+                    reason="system libvorbis not present")
+def test_ogg_rejects_garbage(tmp_path):
+    from flan_tpu.io.ogg import read_ogg
+    p = str(tmp_path / "g.ogg")
+    open(p, "wb").write(b"OggS" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        read_ogg(p)
