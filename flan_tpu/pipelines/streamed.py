@@ -51,11 +51,19 @@ _REMAP_DTYPE = None
 _FRAMING_MODE = "stack"
 
 # A/B knob: split the per-step synthesis irfft into this many sub-batches
-# along the frame axis. Stage ablation at chunk 512 localized the >256
-# chunk cliff to the irfft custom call (no_inv_fft: 798x vs full 385x) -
-# its input crosses ~16 MB right above 2ch x 512 frames x 4096, where the
-# TPU FFT's internal buffering falls off a cliff.
+# along the frame axis (within each _SYNTH_SPLIT sub-range).
 _IRFFT_SPLIT = 1
+
+# Split the whole remap -> spectral-op -> cumsum -> polar-irfft region
+# into this many carried sub-ranges of the chunk's output frames. The
+# round-5 stage ablation at chunk 512 (docs/PERF_NOTES_R5.md) showed the
+# >256 cliff is the LIVE SET of that region — several [C, frames, 2049]
+# f32 temps cross VMEM together right above 256 frames; removing any one
+# large stage (irfft Δ229 ms, remap Δ168, polar Δ102) restores most of
+# the speed while the FFT+OLA-only arm barely grows (205 -> 241 ms).
+# Splitting the region restores the 256-frame live set inside a bigger
+# scan step. 1 = off (shipped default unless the on-chip A/B wins).
+_SYNTH_SPLIT = 1
 
 
 @functools.partial(
@@ -161,43 +169,67 @@ def _streamed_scan(xs, plan, mix_s, *, chunk_op, n_in,
             freq = (freq - bin_freq[None, None, None, :]).astype(
                 _REMAP_DTYPE)
 
-        # ---- monotonic remap (WFS policy, PVModify.cpp:344-355) ----
-        w0 = (1.0 - mix_c)[None, None, :, None] * mag[:, :, li_c]
-        w1 = mix_c[None, None, :, None] * mag[:, :, li_c + 1]
-        total = (w0 + w1).astype(jnp.float32)
-        fsum = (w0 * freq[:, :, li_c]
-                + w1 * freq[:, :, li_c + 1]).astype(jnp.float32)
-        v = valid_c[None, None, :, None]
-        s_mag = jnp.where(v, total, 0.0)
-        s_freq = jnp.where(v & (total > 0.0),
-                           fsum / jnp.where(total > 0.0, total, 1.0), 0.0)
-        if _REMAP_DTYPE is not None:
+        def synth_sub(li_c_i, mix_c_i, valid_c_i, f0_i, cycle_in):
+            """Remap + spectral op + carried mod-1 cumsum + polar irfft
+            for one sub-range of the chunk's output frames. The region's
+            live set (several [C, frames, nbins] f32 temps) is what falls
+            off the VMEM cliff above 256 frames — see _SYNTH_SPLIT."""
+            # ---- monotonic remap (WFS policy, PVModify.cpp:344-355) ----
+            w0 = (1.0 - mix_c_i)[None, None, :, None] * mag[:, :, li_c_i]
+            w1 = mix_c_i[None, None, :, None] * mag[:, :, li_c_i + 1]
+            total = (w0 + w1).astype(jnp.float32)
+            fsum = (w0 * freq[:, :, li_c_i]
+                    + w1 * freq[:, :, li_c_i + 1]).astype(jnp.float32)
+            v = valid_c_i[None, None, :, None]
+            s_mag = jnp.where(v, total, 0.0)
             s_freq = jnp.where(v & (total > 0.0),
-                               s_freq + bin_freq[None, None, None, :], 0.0)
+                               fsum / jnp.where(total > 0.0, total, 1.0),
+                               0.0)
+            if _REMAP_DTYPE is not None:
+                s_freq = jnp.where(v & (total > 0.0),
+                                   s_freq + bin_freq[None, None, None, :],
+                                   0.0)
 
-        # ---- per-chunk spectral op ----
-        if chunk_op is not None:
-            s_mag, s_freq = chunk_op(s_mag, s_freq, f0)
-        else:
-            s_mag, s_freq = s_mag[0], s_freq[0]
+            # ---- per-chunk spectral op ----
+            if chunk_op is not None:
+                s_mag, s_freq = chunk_op(s_mag, s_freq, f0_i)
+            else:
+                s_mag, s_freq = s_mag[0], s_freq[0]
 
-        # ---- inverse PV (mod-1 cycle accumulation, carried) ----
-        from flan_tpu.ops.stft import cumsum_mod1_frames, irfft_polar
-        inc = jnp.mod(s_freq / analysis_rate, 1.0)
-        cycles = cumsum_mod1_frames(inc)
-        cycles = jnp.mod(cycles + cycle0[:, None, :], 1.0)
-        if _IRFFT_SPLIT > 1 and chunk_out % _IRFFT_SPLIT == 0:
-            sub = chunk_out // _IRFFT_SPLIT
-            out_t = jnp.concatenate([
-                irfft_polar(s_mag[:, i * sub:(i + 1) * sub],
-                            cycles[:, i * sub:(i + 1) * sub]
-                            * (2.0 * jnp.pi),
-                            dft_size, out_len=wpad)[..., :wpad]
-                for i in range(_IRFFT_SPLIT)], axis=1)
-        else:
-            out_t = irfft_polar(s_mag, cycles * (2.0 * jnp.pi),
+            # ---- inverse PV (mod-1 cycle accumulation, carried) ----
+            from flan_tpu.ops.stft import cumsum_mod1_frames, irfft_polar
+            frames_i = s_mag.shape[1]
+            inc = jnp.mod(s_freq / analysis_rate, 1.0)
+            cycles = cumsum_mod1_frames(inc)
+            cycles = jnp.mod(cycles + cycle_in[:, None, :], 1.0)
+            if _IRFFT_SPLIT > 1 and frames_i % _IRFFT_SPLIT == 0:
+                sub = frames_i // _IRFFT_SPLIT
+                o_t = jnp.concatenate([
+                    irfft_polar(s_mag[:, i * sub:(i + 1) * sub],
+                                cycles[:, i * sub:(i + 1) * sub]
+                                * (2.0 * jnp.pi),
                                 dft_size, out_len=wpad)[..., :wpad]
-        out_t = out_t * inv_window[None, None, :]
+                    for i in range(_IRFFT_SPLIT)], axis=1)
+            else:
+                o_t = irfft_polar(s_mag, cycles * (2.0 * jnp.pi),
+                                  dft_size, out_len=wpad)[..., :wpad]
+            return o_t * inv_window[None, None, :], cycles[:, -1, :]
+
+        splits = (_SYNTH_SPLIT if _SYNTH_SPLIT > 1
+                  and chunk_out % _SYNTH_SPLIT == 0 else 1)
+        if splits == 1:
+            out_t, cycle_last = synth_sub(li_c, mix_c, valid_c, f0, cycle0)
+        else:
+            sub_n = chunk_out // splits
+            parts = []
+            cyc = cycle0
+            for i in range(splits):
+                sl = slice(i * sub_n, (i + 1) * sub_n)
+                o_t_i, cyc = synth_sub(li_c[sl], mix_c[sl], valid_c[sl],
+                                       f0 + i * sub_n, cyc)
+                parts.append(o_t_i)
+            out_t = jnp.concatenate(parts, axis=1)
+            cycle_last = cyc
 
         blocks = out_t.reshape(c, chunk_out, r, hop)
         acc = jnp.zeros((c, chunk_out + r, hop), jnp.float32)
@@ -206,7 +238,7 @@ def _streamed_scan(xs, plan, mix_s, *, chunk_op, n_in,
             acc = acc.at[:, j:j + chunk_out, :].add(blocks[:, :, j, :])
         out = acc[:, :chunk_out, :].reshape(c, chunk_out * hop)
         new_tail = acc[:, chunk_out:, :]
-        return (cycles[:, -1, :], new_tail), out
+        return (cycle_last, new_tail), out
 
     init = (jnp.zeros((c, nbins), jnp.float32),
             jnp.zeros((c, r, hop), jnp.float32))

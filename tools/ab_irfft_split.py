@@ -1,4 +1,4 @@
-"""A/B: chunk size x irfft split for the headline streamed stretch.
+"""A/B: chunk size x synthesis-region split for the headline stretch.
 
 Round-5 stage ablation (tools/profile_headline_stages.py at chunk 512)
 localizes the >256 chunk cliff; if the culprit is the synthesis irfft
@@ -7,7 +7,7 @@ splitting the per-step irfft into sub-batches (_IRFFT_SPLIT) should
 restore the per-call FFT size while keeping the halved step count —
 the first candidate fix that could unlock chunk >= 384.
 
-Usage: python tools/ab_irfft_split.py CHUNK SPLIT [SECONDS]
+Usage: python tools/ab_irfft_split.py CHUNK SYNTH_SPLIT [IRFFT_SPLIT] [SECONDS]
 Prints one JSON line. Subprocess-isolate per arm.
 """
 import json
@@ -23,12 +23,14 @@ import numpy as np
 def main():
     chunk = int(sys.argv[1])
     split = int(sys.argv[2])
-    seconds = float(sys.argv[3]) if len(sys.argv) > 3 else 150.0
+    irfft_split = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    seconds = float(sys.argv[4]) if len(sys.argv) > 4 else 150.0
 
     import jax
     import jax.numpy as jnp
     import flan_tpu.pipelines.streamed as st
-    st._IRFFT_SPLIT = split
+    st._SYNTH_SPLIT = split
+    st._IRFFT_SPLIT = irfft_split
     from flan_tpu.pipelines import pv_stretch_pipeline
 
     sr = 48000.0
@@ -68,7 +70,8 @@ def main():
         best = min(best, time.perf_counter() - t0)
     best = max(best - floor_time(), best * 0.25)
     print(json.dumps({
-        "chunk": chunk, "irfft_split": split, "seconds": seconds,
+        "chunk": chunk, "synth_split": split, "irfft_split": irfft_split,
+        "seconds": seconds,
         "ms": round(best * 1e3, 1),
         "x_realtime": round(seconds / best, 1)}))
 
