@@ -151,14 +151,33 @@ class Audio(AudioBuffer):
     def resample(self, new_sample_rate: float) -> "Audio":
         """Whole-buffer SRC, r8brain equivalent (reference
         AudioConversions.cpp:14-30) via polyphase windowed-sinc conv
-        (flan_tpu.ops.resample)."""
+        (flan_tpu.ops.resample).
+
+        Reference quirk preserved (golden-tested): the reference feeds
+        the ENTIRE channel-major flat buffer through ONE stateful
+        resampler (``resampler.oneshot(&buffer[0], buffer.size(), ...)``),
+        so channels bleed at the boundary and channel c lands at stream
+        offset c*N*ratio — fractional in general, shifting later channels
+        by a sub-sample amount. We reproduce this by resampling the flat
+        [C*N] stream and reshaping to [C, floor(N*ratio)]; the clean
+        per-channel form remains available as ops.resample.resample."""
         from flan_tpu.ops.resample import resample as _resample
         if self.is_null():
             return Audio.create_null()
         if new_sample_rate == self.sample_rate:
             return self.copy()
-        data = _resample(self.data, float(self.sample_rate),
-                         float(new_sample_rate))
+        c = self.num_channels
+        if c == 1:
+            data = _resample(self.data, float(self.sample_rate),
+                             float(new_sample_rate))
+        else:
+            ratio = float(new_sample_rate) / float(self.sample_rate)
+            out_n = int(self.num_frames * ratio)
+            flat = _resample(self.data.reshape(1, -1),
+                             float(self.sample_rate),
+                             float(new_sample_rate))
+            flat = flat[0, :c * out_n]
+            data = flat.reshape(c, out_n)
         return Audio(data=data, sample_rate=float(new_sample_rate))
 
     def convert_to_PV(self, window_size: int = 2048, hop: int = 128,
@@ -313,8 +332,12 @@ class Audio(AudioBuffer):
     # Basic temporal / volume ops (more in audio/temporal.py, volume.py)
     # =======================================================================
     def reverse(self) -> "Audio":
-        """(reference AudioTemporal.cpp)"""
-        return self._with(data=self.data[:, ::-1])
+        """Reverse in time AND channel order (reference
+        AudioTemporal.cpp:174-189: channel c is copied forward into
+        ``rbegin() + c*F`` of the channel-major flat buffer, so its
+        reversed samples land in channel C-1-c — a documented upstream
+        quirk, golden-tested in tests/test_algo_golden.py)."""
+        return self._with(data=self.data[::-1, ::-1])
 
     def invert_phase(self) -> "Audio":
         """(reference AudioVolume.cpp)"""

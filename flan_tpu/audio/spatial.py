@@ -77,30 +77,113 @@ def _head_ild(audio, rel_pos: np.ndarray, ear_direction: float):
     return audio._with(data=data)
 
 
+def _wdl_feed_plan(num_frames: int, gran: int, stretches, num_out: int):
+    """Host simulation of the reference head_itd feed-mode WDL loop
+    (AudioSpatial.cpp:190-219 driving WDL resample.cpp with
+    SetMode(true, 0, true, 32) + SetFeedMode(true)): each iteration
+    feeds exactly `gran` input frames and emits up to ceil(gran*stretch)
+    outputs, stopping when the 32-tap sinc window runs off the buffered
+    input. SincSample1's two-slice blend reads buffer position
+    ipos + frac + 15, so global position win + srcpos + 15. When the
+    ratio is exactly integer (stretch == 1 chunks) WDL collapses the
+    oversampled bank to one table (isideal) and quantizes fracpos to
+    that grid (resample.cpp:1562-1563) — reproduced here; the
+    integer-sample-rate GCD branch is unreachable for the irrational
+    stretches this caller produces.
+
+    Returns (positions, rates) float64 [num_out]; sentinel -1e9 marks
+    never-written frames (the reference's zero-cleared output buffer).
+    """
+    SINC, HFS = 32, 16
+    pos = np.full(num_out, -1e9, np.float64)
+    rate = np.ones(num_out, np.float64)
+    samples_in = 0
+    fracpos = 0.0
+    win = 0
+    out_frame = 0
+    for in_frame in range(0, num_frames, gran):
+        stretch = float(stretches[in_frame // gran])
+        ratio = 1.0 / stretch
+        if samples_in < HFS - 1:
+            win -= (HFS - 1) - samples_in
+            samples_in = HFS - 1
+        samples_in += gran          # feed mode: sreq == out_samples
+        filtlen = samples_in - SINC
+        if ratio >= 1.0:
+            ideal = float(int(ratio + 0.5)) == ratio
+            oversize = 1 if ideal else 32
+        else:
+            drat = 1.0 / ratio
+            irat = int(drat + 0.5)
+            ideal = irat > 1 and float(irat) == drat and irat <= 64
+            oversize = irat if ideal else 32
+        srcpos = fracpos
+        ret = 0
+        for _ in range(int(math.ceil(gran * stretch))):
+            ipos = int(srcpos)
+            if ipos >= filtlen - 1:
+                break
+            if out_frame + ret < num_out:
+                f = srcpos - ipos
+                if ideal:
+                    f = math.floor(f * oversize + 0.5) / oversize
+                pos[out_frame + ret] = win + ipos + f + (HFS - 1)
+                rate[out_frame + ret] = ratio
+            srcpos += ratio
+            ret += 1
+        out_frame += ret
+        isrcpos = int(srcpos)
+        if isrcpos > samples_in:
+            isrcpos = samples_in
+        fracpos = srcpos - isrcpos
+        if ideal:
+            fracpos = math.floor(oversize * fracpos + 0.5) / oversize
+        samples_in -= isrcpos
+        if samples_in < 0:
+            samples_in = 0
+        win += isrcpos
+    return pos, rate
+
+
 def _head_itd(audio, rel_pos: np.ndarray):
-    """ITD + doppler: output frame m reads the input sample whose emission
-    time n + dist(n)*sr/c equals m (reference head_itd,
-    AudioSpatial.cpp:135-221 does this with blockwise WDL resampling; the
-    inverse-map gather is exact for speed-limited sources)."""
+    """ITD + doppler (reference head_itd, AudioSpatial.cpp:135-221).
+
+    Two documented reference quirks are preserved: (1) for a MOVING
+    source the initial propagation delay is computed but never applied
+    (`initial_delay_frames` is a dead variable at AudioSpatial.cpp:180
+    — only the differential doppler stretch is rendered, from output
+    frame 0), while a CONSTANT position takes the integer-delay branch
+    (:139-153) and IS delayed; (2) the output buffer length still
+    reserves room for the unapplied delay
+    (frame_to_time(chunk_end) + dist/c, :168), leaving a zero tail.
+    The per-chunk stretch plan is simulated on host (_wdl_feed_plan)
+    and rendered as one fractional-sinc gather on device."""
     sr = audio.sample_rate
     n = audio.num_frames
     dist = np.linalg.norm(rel_pos, axis=-1)
-    emission = np.arange(n, dtype=np.float64) + dist * sr / SOUND_MPS
-    out_frames = int(math.ceil(emission.max())) + 1
+    if np.all(dist == dist[0]):
+        # constant-position branch: integer frame delay, no resampling
+        d = int(dist[0] / SOUND_MPS * sr)
+        pad = jnp.zeros((audio.num_channels, d), audio.data.dtype)
+        return audio._with(data=jnp.concatenate([pad, audio.data], axis=-1))
 
-    m = np.arange(out_frames, dtype=np.float64)
-    idx = np.clip(np.searchsorted(emission, m, side="right"), 1, n - 1)
-    e0 = emission[idx - 1]
-    e1 = emission[idx]
-    frac = np.clip((m - e0) / np.maximum(e1 - e0, 1e-9), 0.0, 1.0)
-    pos = (idx - 1) + frac
-    valid = (m >= emission[0]) & (m <= emission[-1])
-    # antialias when the doppler compresses (reading faster than 1x)
-    rate = np.gradient(pos)
-    cutoff = np.minimum(1.0, 1.0 / np.maximum(rate, 1e-9))
+    GRAN = 32
+    changes = [0.0]     # no movement assumed on frame 0
+    prev = float(dist[0])
+    max_needed = 0.0
+    for f in range(GRAN, n, GRAN):
+        cur = float(dist[f])
+        changes.append(cur - prev)
+        prev = cur
+        max_needed = max(max_needed, (f + GRAN) / sr + cur / SOUND_MPS)
+    num_out = int(math.ceil(max_needed * sr))
+    stretches = [1.0 / (1.0 - ch / GRAN / SOUND_MPS * sr)
+                 for ch in changes]
+    pos, rate = _wdl_feed_plan(n, GRAN, stretches, num_out)
+    # WDL anti-alias margin when reading faster than 1x
+    cutoff = np.where(rate > 1.0, 1.0 / (1.03 * rate), 1.0)
     out = fractional_gather(audio.data, jnp.asarray(pos, jnp.float32),
                             jnp.asarray(cutoff, jnp.float32), num_taps=32)
-    out = out * jnp.asarray(valid, jnp.float32)[None, :]
     return audio._with(data=out.astype(jnp.float32))
 
 

@@ -263,12 +263,107 @@ def _eval_scalar(fn, t: float) -> float:
     return float(np.asarray(v).reshape(()))
 
 
+def _wdl_sinc_plan(num_frames: int, gran: int, rates_inv: np.ndarray,
+                   is_constant: bool):
+    """Host simulation of the reference repitch feed loop
+    (AudioTemporal.cpp:236-299 driving WDL resample.cpp Sinc mode,
+    SetMode(true, 0, true, 64)).
+
+    The WDL resampler is a streaming 64-tap sinc interpolator; the
+    reference feeds it `gran`-output-frame blocks, selecting the rate by
+    the FEED head (`in_frame`), which runs ahead of the read head by the
+    buffer fill (~ratio*gran + 68 frames). Three behaviors fall out of
+    that arithmetic and are reproduced exactly here: (1) the rate curve
+    is applied shifted by the buffer lookahead, (2) the loop terminates
+    when the feed head (not the read head) passes the input end, leaving
+    the planned output tail at the zero-initialized buffer value, and
+    (3) SincSample1's two-slice interpolation reads buffer position
+    ipos + frac + (sinc/2 - 1), i.e. global position
+    window_start + srcpos + 31 (slice s of the oversampled filter bank
+    is centered at tap 32 - s/32; the ifpos/rem blend lands the center
+    exactly at srcpos + 31).
+
+    Returns (positions, rates): float64 [num_out] global input read
+    positions (sentinel -1e9 for never-written frames -> the device
+    gather reads all zeros there) and per-frame ratios (for the
+    anti-alias cutoff 1/(1.03*ratio), WDL resample.cpp:1327).
+    """
+    SINC = 64
+    HFS = SINC // 2
+    nblocks = len(rates_inv)
+    # Output length: ceil(float32_accumulate(1/factor) * gran)
+    # (AudioTemporal.cpp:252, FunctionSample.h:136-147).
+    if is_constant:
+        acc = np.float32(rates_inv[0]) * np.float32(nblocks)
+    else:
+        acc = np.float32(0.0)
+        for v in rates_inv:
+            acc = np.float32(acc + np.float32(v))
+    num_out = int(np.ceil(np.float32(acc * np.float32(gran))))
+
+    pos = np.full(num_out, -1e9, np.float64)
+    rate = np.ones(num_out, np.float64)
+    # rsoutbuf is reused across blocks; frames past a short ResampleOut
+    # keep the previous block's (or initial zero) contents
+    buf_pos = np.full(gran, -1e9, np.float64)
+    buf_rate = np.ones(gran, np.float64)
+
+    samples_in = 0      # m_samples_in_rsinbuf
+    fracpos = 0.0       # m_fracpos
+    win = 0             # global input frame of buffer index 0
+    in_frame = 0
+    out_frame = 0
+    while in_frame < num_frames:
+        fi = min(int(in_frame / float(gran)), nblocks - 1)
+        ratio = 1.0 / float(rates_inv[fi])   # m_ratio (double)
+        # ResamplePrepare (resample.cpp:1218-1264): zero history pad
+        if samples_in < HFS - 1:
+            win -= (HFS - 1) - samples_in
+            samples_in = HFS - 1
+        sreq = int(ratio * gran) + 4 + SINC - samples_in
+        if sreq < 0:
+            sreq = 0
+        if sreq == 0:
+            break   # rate too small to ever advance (reference hangs)
+        samples_in += sreq   # full feed: nsamples_in == m_last_requested
+        # ResampleOut sinc loop (resample.cpp:1313-1415)
+        filtlen = samples_in - SINC
+        srcpos = fracpos
+        for j in range(gran):
+            ipos = int(srcpos)
+            if ipos >= filtlen - 1:
+                break
+            buf_pos[j] = win + srcpos + (HFS - 1)
+            buf_rate[j] = ratio
+            srcpos += ratio
+        ncopy = min(gran, num_out - out_frame)
+        if ncopy > 0:
+            pos[out_frame:out_frame + ncopy] = buf_pos[:ncopy]
+            rate[out_frame:out_frame + ncopy] = buf_rate[:ncopy]
+        out_frame += gran
+        in_frame += sreq
+        # post-loop bookkeeping (resample.cpp:1556-1570)
+        isrcpos = int(srcpos)
+        if isrcpos > samples_in:
+            isrcpos = samples_in
+        fracpos = srcpos - isrcpos
+        samples_in -= isrcpos
+        if samples_in < 0:
+            samples_in = 0
+        win += isrcpos
+    return pos, rate
+
+
 def repitch(self, factor, granularity: float = 0.001,
-            quality: str = "sinc", num_taps: int = 32):
+            quality: str = "sinc", num_taps: int = 64):
     """Time-varying repitch (WDL-resampler equivalent; reference
     AudioTemporal.cpp:236-299). The read-rate curve is sampled per
-    granularity block, integrated on host, then the output is one dense
-    windowed-sinc gather on device (flan_tpu.ops.resample)."""
+    granularity block, the WDL feed loop is simulated on host
+    (_wdl_sinc_plan), then the output is one dense windowed-sinc gather
+    on device (flan_tpu.ops.resample). num_taps=64 matches the
+    reference's SetMode sinc size (golden-tested to ~79 dB; 32 taps
+    measured 36 dB against the compiled reference on an 8x rate
+    sweep)."""
     from flan_tpu.audio.audio import Audio
     if self.is_null():
         return Audio.create_null()
@@ -277,36 +372,30 @@ def repitch(self, factor, granularity: float = 0.001,
     nblocks = int(math.ceil(self.num_frames / gran))
     tgrid = np.arange(nblocks, dtype=np.float64) * granularity
     if fn.is_constant:
-        rates = np.full(nblocks, fn.constant_value, np.float64)
+        fvals = np.full(nblocks, fn.constant_value, np.float32)
     else:
-        rates = np.asarray(fn(jnp.asarray(tgrid, jnp.float32)),
-                           np.float64).reshape(-1)
-    # reference clamps 1/factor to [1/1000, 1000] (AudioTemporal.cpp:247-249)
-    rates = np.clip(rates, 1.0 / 1000.0, 1000.0)
+        fvals = np.asarray(fn(jnp.asarray(tgrid, jnp.float32)),
+                           np.float32).reshape(-1)
+    # reference clamps 1/factor to [1/1000, 1000] in float32
+    # (AudioTemporal.cpp:247-249)
+    rates_inv = np.clip((np.float32(1.0) / fvals).astype(np.float32),
+                        np.float32(1.0 / 1000.0), np.float32(1000.0))
 
-    # Each block of `gran` INPUT frames becomes gran/rate output frames; the
-    # read rate (input frames per output frame) within that block is `rate`.
-    out_per_block = gran / rates
-    out_starts = np.concatenate([[0.0], np.cumsum(out_per_block)])
-    num_out = int(math.ceil(out_starts[-1]))
-    in_starts = np.arange(nblocks, dtype=np.float64) * gran
-
-    # per-output-frame read position: piecewise linear
-    out_frames = np.arange(num_out, dtype=np.float64)
-    block_of = np.clip(np.searchsorted(out_starts, out_frames,
-                                       side="right") - 1, 0, nblocks - 1)
-    positions = (in_starts[block_of]
-                 + (out_frames - out_starts[block_of]) * rates[block_of])
-    cutoff = np.minimum(1.0, 1.0 / rates[block_of])
+    positions, rates = _wdl_sinc_plan(self.num_frames, gran, rates_inv,
+                                      fn.is_constant)
+    # WDL's anti-alias margin: filtpos = 1/(ratio*1.03) when reading
+    # faster than realtime (resample.cpp:1327)
+    cutoff = np.where(rates > 1.0, 1.0 / (1.03 * rates), 1.0)
 
     if quality == "linear":
         pos = jnp.asarray(positions, jnp.float32)
         base = jnp.floor(pos).astype(jnp.int32)
         frac = (pos - base)[None, :]
         n = self.num_frames
+        written = (positions > -1e8)[None, :]
         lo = jnp.take(self.data, jnp.clip(base, 0, n - 1), axis=-1)
         hi = jnp.take(self.data, jnp.clip(base + 1, 0, n - 1), axis=-1)
-        data = lo * (1 - frac) + hi * frac
+        data = jnp.where(written, lo * (1 - frac) + hi * frac, 0.0)
     else:
         data = resample_ops.fractional_gather(
             self.data, jnp.asarray(positions, jnp.float32),

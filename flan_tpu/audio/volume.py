@@ -67,8 +67,12 @@ def compress(self, threshold, ratio=3.0, attack=0.005, release=0.1,
     n = self.num_frames
     sr = self.sample_rate
 
-    # control signal: per-frame max over channels (AudioVolume.cpp:210-215)
-    x = jnp.max(source.data, axis=0)
+    # control signal: per-frame max over channels (AudioVolume.cpp:210-215).
+    # The reference accumulates into a zero-initialized buffer with
+    # `if (channel_max[f] < sample)` on SIGNED samples, so the detector
+    # sees max(0, max_c x) — negative half-waves detect as silence. Quirk
+    # preserved (golden-tested vs the compiled reference).
+    x = jnp.maximum(jnp.max(source.data, axis=0), 0.0)
     if x.shape[0] < n:
         x = jnp.pad(x, (0, n - x.shape[0]))
     x = x[:n]

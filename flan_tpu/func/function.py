@@ -288,11 +288,16 @@ def adsr(attack_time: float, decay_time: float, sustain_time: float,
         attack = jnp.where(
             a > 0, jnp.power(jnp.clip(t / jnp.maximum(a, 1e-20), 0, 1),
                              attack_exponent), 1.0)
-        decay = 1.0 + (sustain_level - 1.0) * jnp.power(
-            jnp.clip((t - a) / jnp.maximum(d, 1e-20), 0, 1), decay_exponent)
-        release = sustain_level * (1.0 - jnp.power(
-            jnp.clip((t - a - d - s) / jnp.maximum(r, 1e-20), 0, 1),
-            release_exponent))
+        # curve shape matches the reference exactly (Function.cpp:21-29):
+        # decay   pow(1 - x, dExp) * (1 - sLvl) + sLvl
+        # release pow(1 - x, rExp) * sLvl
+        # (NOT 1 - (1-s)*pow(x, e) — differs for any exponent != 1)
+        decay = sustain_level + (1.0 - sustain_level) * jnp.power(
+            1.0 - jnp.clip((t - a) / jnp.maximum(d, 1e-20), 0, 1),
+            decay_exponent)
+        release = sustain_level * jnp.power(
+            1.0 - jnp.clip((t - a - d - s) / jnp.maximum(r, 1e-20), 0, 1),
+            release_exponent)
         out = jnp.where(t < a, attack,
                         jnp.where(t < a + d, decay,
                                   jnp.where(t < a + d + s, sustain_level,

@@ -123,7 +123,7 @@ def _rational_resample_jit(x, L: int, M: int, num_out: int,
 
 
 def resample(x: jnp.ndarray, sr_in: float, sr_out: float,
-             taps_per_phase: int = 24, atten_db: float = 140.0,
+             taps_per_phase: int = 64, atten_db: float = 140.0,
              max_denominator: int = 1000) -> jnp.ndarray:
     """Whole-buffer SRC of [C, N] audio (r8brain equivalent).
 

@@ -42,6 +42,11 @@ sed -e 's/std::execution::par_unseq/std::execution::seq/g' \
     -e 's/std::execution::unseq/std::execution::seq/g' \
     "$REF/src/flan/Utility/execution.h" > "$BUILD/flan/Utility/execution.h"
 cp "$REF/src/flan/Utility/iota_iter.h" "$BUILD/flan/Utility/iota_iter.h"
+# GCC rejects vec2Base's converting-constructor + conversion-operator pair
+# as ambiguous (MSVC picks the ctor). Shadow-drop the operator: the
+# converting constructor alone yields identical values.
+sed '/Convert to other T/,+3d' \
+    "$REF/src/flan/Utility/vec2.h" > "$BUILD/flan/Utility/vec2.h"
 
 
 
@@ -64,6 +69,12 @@ g++ -std=c++20 -O2 -I "$BUILD" -I "$REF/src" -I "$HERE/stubs" \
     "$REF/src/flan/Audio/AudioCombination.cpp" \
     "$REF/src/flan/Audio/AudioVolume.cpp" \
     "$BUILD/AudioFilter_patched.cpp" \
+    "$REF/src/flan/Audio/AudioTemporal.cpp" \
+    "$REF/src/flan/Audio/AudioSpatial.cpp" \
+    "$REF/src/flan/Audio/AudioSynthesis.cpp" \
+    "$REF/src/flan/Audio/AudioInformation.cpp" \
+    "$REF/src/WDL/resample.cpp" \
+    "$REF/src/flan/Audio/AudioMod.cpp" \
     "$REF/src/r8brain/r8bbase.cpp" \
     "$REF/src/flan/SPV/SPV.cpp" \
     "$REF/src/flan/SPV/SPVBuffer.cpp" \

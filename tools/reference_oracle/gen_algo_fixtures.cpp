@@ -231,7 +231,7 @@ int main(int argc, char** argv) {
             const int oc = out.get_num_channels(), on = out.get_num_frames();
             std::vector<float> buf((size_t)oc * on);
             for (int c = 0; c < oc; ++c)
-                for (int i = 0; i < n && i < on; ++i)
+                for (int i = 0; i < on; ++i)
                     buf[(size_t)c * on + i] = out.get_sample(c, i);
             dump_f32(name + ".f32", buf.data(), buf.size());
             std::ofstream d(g_dir + name + ".dims");
@@ -271,6 +271,120 @@ int main(int argc, char** argv) {
         dump_audio("filt_comb_inv",
                    a.filter_comb(1000.0f, 0.25f, 0.5f, true));
         dump_audio("filt_shift", a.shift_frequency(123.0f, 30.0f));
+
+        // --- Round 5 extension: volume/dynamics (AudioVolume.cpp),
+        // combination (AudioCombination.cpp), temporal incl. the WDL
+        // repitch (AudioTemporal.cpp), spatial (AudioSpatial.cpp),
+        // synthesis (AudioSynthesis.cpp), information
+        // (AudioInformation.cpp) — the remaining algorithm families on
+        // citation-only or analytic-only verification.
+
+        // volume / dynamics
+        dump_audio("vol_mod", a.modify_volume(
+            Function<Second, float>([](Second t) {
+                return 0.25f + 8.0f * t;
+            })));
+        dump_audio("vol_set", a.set_volume(0.5f));
+        dump_audio("vol_fade", a.fade(0.008f, 0.012f));
+        dump_audio("vol_invert", a.invert_phase());
+        dump_audio("vol_waveshape", a.waveshape(
+            Function<std::pair<Second, Sample>, Sample>(
+                [](std::pair<Second, Sample> ts) {
+                    const Sample x = ts.second;
+                    return x - x * x * x / 3.0f;
+                }), 2));
+        dump_audio("vol_compress",
+                   a.compress(-12.0f, 4.0f, 0.005f, 0.02f, 6.0f, nullptr));
+        dump_audio("vol_adsr",
+                   a.apply_adsr_envelope(0.01f, 0.01f, 0.02f, 0.015f,
+                                         0.5f, 2.0f, 0.5f, 1.0f));
+
+        // combination
+        const Audio arev = a.reverse();
+        dump_audio("temp_reverse", arev);
+        {
+            std::vector<const Audio*> ins{&a, &arev};
+            std::vector<Second> starts{0.0f, 0.01f};
+            const Function<Second, Amplitude> g0(
+                [](Second t) { return 1.0f - 4.0f * t; });
+            const Function<Second, Amplitude> g1(0.5f);
+            std::vector<const Function<Second, Amplitude>*> gains{&g0, &g1};
+            dump_audio("comb_mix", Audio::mix(ins, starts, gains));
+            dump_audio("comb_join", Audio::join(ins, 0.005f));
+            dump_audio("comb_select", Audio::select(
+                ins, Function<Second, float>([](Second t) {
+                    return 16.0f * t;
+                }), std::vector<Second>()));
+        }
+        {
+            std::vector<float> irs(48);
+            for (int i = 0; i < 48; ++i) {
+                const uint32_t h = (uint32_t)((i + 7) * 2654435761u);
+                irs[i] = ((float)(h % 2001u) / 1000.0f - 1.0f)
+                         * (1.0f - (float)i / 48.0f);
+            }
+            const Audio ir2 = Audio::create_from_buffer(
+                std::move(irs), 1, sr);
+            dump_f32("comb_ir.f32", ir2.get_sample_pointer(0, 0), 48);
+            dump_audio("comb_convolve", a.convolve(ir2));
+        }
+
+        // conversions: whole-buffer r8brain SRC as the oracle for the
+        // polyphase windowed-sinc re-design
+        dump_audio("conv_resample", a.resample(11025.0f));
+
+        // temporal (WDL block resampling)
+        dump_audio("temp_cut", a.cut(0.01f, 0.05f));
+        dump_audio("temp_repitch_c",
+                   a.repitch(1.5f, 0.001f, Audio::WDLResampleType::Sinc));
+        dump_audio("temp_repitch_v", a.repitch(
+            Function<Second, float>([](Second t) {
+                return 0.75f + 8.0f * t;
+            }), 0.001f, Audio::WDLResampleType::Sinc));
+        dump_audio("temp_iterate", a.iterate(3));
+
+        // spatial
+        dump_audio("spat_pan_c", a.pan(0.6f));
+        dump_audio("spat_pan_v", a.pan(
+            Function<Second, float>([](Second t) {
+                return -1.0f + 31.25f * t;
+            })));
+        dump_audio("spat_widen", a.widen(0.7f));
+        // stereo_spatialize requires a MONO source (returns null Audio on
+        // stereo input — that guard is asserted separately in the tests)
+        dump_audio("spat_spatialize",
+                   a.convert_to_mono().stereo_spatialize(
+            Function<Second, vec2>([](Second t) {
+                return vec2(1.0f - 10.0f * t, 2.0f);
+            })));
+
+        // synthesis: deterministic waveform synth (oversample + r8brain)
+        dump_audio("synth_wave", Audio::synthesize_waveform(
+            Function<Second, Amplitude>([](Second p) {
+                return p < 0.5f ? 4.0f * p - 1.0f : 3.0f - 4.0f * p;
+            }), 0.064f, 220.0f, sr, 2));
+
+        // information: YIN wavelengths + amplitude envelope + energy
+        {
+            std::vector<float> wl = a.get_local_wavelengths(
+                0, 0, -1, 256, 64);
+            dump_f32("info_wavelengths.f32", wl.data(), wl.size());
+            std::ofstream d(g_dir + "info_wavelengths.dims");
+            d << 1 << " " << wl.size() << "\n";
+
+            auto env = a.get_amplitude_envelope(0.02f);
+            std::vector<float> envs(n);
+            for (int i = 0; i < n; ++i)
+                envs[i] = env((float)i / sr);
+            dump_f32("info_amp_env.f32", envs.data(), envs.size());
+            std::ofstream d2(g_dir + "info_amp_env.dims");
+            d2 << 1 << " " << n << "\n";
+
+            std::vector<float> en = a.get_total_energy();
+            dump_f32("info_energy.f32", en.data(), en.size());
+            std::ofstream d3(g_dir + "info_energy.dims");
+            d3 << 1 << " " << en.size() << "\n";
+        }
     }
 
     std::printf("algo fixtures written to %s\n", g_dir.c_str());
