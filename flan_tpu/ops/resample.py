@@ -129,6 +129,15 @@ def resample(x: jnp.ndarray, sr_in: float, sr_out: float,
 
     Output length matches the reference's truncation
     num_frames * sr_out / sr_in (AudioConversions.cpp:22).
+
+    taps_per_phase=64 from an A/B against the compiled reference's
+    r8brain output (conv_resample golden): 24 taps measures 37.6 dB,
+    32 -> 44.4, 48 -> 47.2, 64 -> 48.1 (the residual past the knee is
+    transition-band shape, not tap count). 48 would pass the one-pass
+    golden, but the oversampled-waveshape ROUND TRIP (two passes,
+    vol_waveshape golden) compounds to 38.7 dB there vs >=40 at 64.
+    The on-chip smoke gate (tools/tpu_smoke.py gate_resample) is
+    taps-independent at ~79 dB.
     """
     if sr_in == sr_out:
         return x
