@@ -90,15 +90,29 @@ def freeze(self, pause_times: Sequence[float],
         {int(np.clip(self.time_to_frame(t), 0, self.num_frames - 1)):
          max(int(self.time_to_frame(l)), 0)
          for t, l in zip(pause_times, pause_lengths)}.items())
+    # Reference quirk (PV.cpp:175-194, golden-tested): a frozen frame is
+    # written `length` times INSTEAD of once (the else branch is skipped),
+    # so a zero-length pause drops its frame entirely, and the output
+    # buffer — sized num_frames + sum(lengths) — keeps one trailing ZERO
+    # frame per pause. (For duplicate pause frames the reference's
+    # unstable sort + unique keeps an unspecified entry; we keep the last.)
     index_map = []
     ti = 0
     for in_frame in range(self.num_frames):
         if ti < len(timing) and in_frame == timing[ti][0]:
             index_map.extend([in_frame] * timing[ti][1])
             ti += 1
-        index_map.append(in_frame)
+        else:
+            index_map.append(in_frame)
+    n_out = self.num_frames + sum(l for _, l in timing)
     idx = jnp.asarray(index_map, jnp.int32)
-    return self._with(mag=self.mag[:, idx], freq=self.freq[:, idx])
+    mag = self.mag[:, idx]
+    freq = self.freq[:, idx]
+    pad = n_out - len(index_map)
+    if pad > 0:
+        mag = jnp.pad(mag, [(0, 0), (0, pad), (0, 0)])
+        freq = jnp.pad(freq, [(0, 0), (0, pad), (0, 0)])
+    return self._with(mag=mag, freq=freq)
 
 
 def replace_amplitudes(self, amp_source, amount=1.0):
@@ -300,19 +314,31 @@ def shape(self, shaper, use_shift_alignment: bool = False):
 
     c, f, b = self.mag.shape
     bin_ix = jnp.arange(b)[None, None, :]
-    bin_shift = bin_ix - (self.freq / self.bin_width).astype(jnp.int32)
-    target = (s_freq / self.bin_width).astype(jnp.int32) + bin_shift
+    # C truncation-toward-zero lands on the FLOAT expressions, nested
+    # (PV.cpp:440-441): binShift = Bin(bin - f2b(in.f)), then
+    # target = Bin(f2b(shaped.f) + binShift) — truncating f2b first
+    # diverges on every fractional/negative frequency (golden-tested)
+    bin_shift = jnp.trunc(bin_ix.astype(jnp.float32)
+                          - self.freq / self.bin_width)
+    target = jnp.trunc(s_freq / self.bin_width
+                       + bin_shift).astype(jnp.int32)
     valid = (target >= 0) & (target < b)
     tb = jnp.clip(target, 0, b - 1)
     chan_ix = jnp.arange(c)[:, None, None]
     frame_ix = jnp.arange(f)[None, :, None]
+    # out starts cleared {0, 0} and a bin writes only on strict magnitude
+    # improvement (PV.cpp:446-448), so the zero init correctly blocks
+    # non-positive shaped mags from ever writing
     out_mag = jnp.zeros_like(s_mag).at[chan_ix, frame_ix, tb].max(
         jnp.where(valid, s_mag, -1.0))
     winner = out_mag[chan_ix, frame_ix, tb]
     write = valid & (s_mag >= winner)
-    out_freq = jnp.zeros_like(s_freq).at[chan_ix, frame_ix, tb].max(
-        jnp.where(write, s_freq, -jnp.inf))
-    out_freq = jnp.where(jnp.isneginf(out_freq), 0.0, out_freq)
+    # freq rides the winning write atomically — init -inf (NOT 0, which
+    # would beat negative winner frequencies; golden-tested at bin 0)
+    out_freq = jnp.full_like(s_freq, -jnp.inf).at[
+        chan_ix, frame_ix, tb].max(jnp.where(write, s_freq, -jnp.inf))
+    out_freq = jnp.where((out_mag > 0) & jnp.isfinite(out_freq),
+                         out_freq, 0.0)
     return self._with(mag=jnp.maximum(out_mag, 0.0), freq=out_freq)
 
 

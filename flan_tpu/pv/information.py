@@ -265,7 +265,9 @@ def prism(self, prism_func, use_local_contour_time: bool = True):
     if self.is_null():
         return PV.create_null()
     min_frequency, max_frequency = 55.0, 1760.0
-    height = self.bin_to_frequency(self.num_bins - 1)
+    # reference get_height() is bin_to_frequency(num_bins) — one PAST the
+    # last bin (PVBuffer.cpp:391-393), golden-tested via algo_prism_*
+    height = self.bin_to_frequency(self.num_bins)
     b_cnt = self.num_bins
     bin_width = self.bin_width
 
@@ -330,9 +332,12 @@ def _prism_one_contour(self, prism_func, use_local_contour_time, channel,
             (fq * w).sum(axis=-1, dtype=np.float32)
             / np.maximum(tot, np.float32(1e-30)), np.float32(0.0)
         ).astype(np.float64)
+        # harmonic count floors the FLOAT32 quotient (size_t of
+        # std::floor(get_height()/base_freq), PVInformation.cpp:314)
         nharm = np.where(base >= 1.0,
-                         (height / np.maximum(base, 1e-9)).astype(np.int64),
-                         0)
+                         (np.float32(height)
+                          / np.maximum(base, 1e-9).astype(np.float32))
+                         .astype(np.int64), 0)
         keep = np.nonzero((tot > 0) & (base >= 1.0) & (nharm >= 1))[0]
         if keep.size == 0:
             return
@@ -343,10 +348,15 @@ def _prism_one_contour(self, prism_func, use_local_contour_time, channel,
         h_max = int(nharm.max())            # derived from the data, no cap
 
         # ---- batched harmonic windows/selection (the former inner loops) -
-        h = np.arange(1, h_max + 1, dtype=np.float64)
-        f_h = base[:, None] * h[None, :]                 # [M, H]
+        # All decision arithmetic runs in FLOAT32 like the reference's
+        # Frequency/fBin types (PVInformation.cpp:324-336): harmonic freq
+        # base*(h+1), its bin truncation, and the half-note ratio bounds —
+        # f64 here moves truncation/threshold boundaries (golden-tested)
+        h = np.arange(1, h_max + 1, dtype=np.float32)
+        bwd32 = np.float32(bin_width)
+        f_h = base.astype(np.float32)[:, None] * h[None, :]  # [M, H] f32
         hvalid = h[None, :] <= nharm[:, None]
-        c_bin = (f_h / bin_width).astype(np.int32)       # trunc, as int()
+        c_bin = (f_h / bwd32).astype(np.int32)           # trunc, as Bin()
         offs = np.arange(-10, 11, dtype=np.int32)
         wb = c_bin[:, :, None] + offs[None, None, :]     # [M, H, 21]
         vb = (wb >= 0) & (wb < b_cnt) & hvalid[:, :, None]
@@ -354,10 +364,11 @@ def _prism_one_contour(self, prism_func, use_local_contour_time, channel,
         m_ix = np.arange(m_cnt)[:, None, None]
         wf = fq[m_ix, wbc]                               # [M, H, 21]
         wm = mg[m_ix, wbc]
-        f_h32 = np.maximum(f_h, 1e-30).astype(np.float32)
+        f_h32 = np.maximum(f_h, np.float32(1e-30))
         ratio = wf / f_h32[:, :, None]                   # f32, as scalar path
         sel = (vb & (wf > 0.01)
-               & (ratio > _NOTES_CLOSE_LO) & (ratio < _NOTES_CLOSE_HI))
+               & (ratio > np.float32(_NOTES_CLOSE_LO))
+               & (ratio < np.float32(_NOTES_CLOSE_HI)))
 
         fidx3 = np.broadcast_to(fr_idx[:, None, None], wb.shape)
         out_mag[channel][fidx3[sel], wbc[sel]] = 0.0     # zeroing pass
@@ -397,30 +408,42 @@ def _prism_one_contour(self, prism_func, use_local_contour_time, channel,
             new_f[i, :hn] = rf
 
         # ---- batched shifted-copy writes (max-magnitude combine) ---------
+        # target-bin/scale arithmetic in FLOAT32 (the reference's MF and
+        # Frequency fields are floats; PVInformation.cpp:382-386)
         wh = hvalid & (max_mags != 0) & (new_f >= 0)
-        f_h_safe = np.maximum(f_h, 1e-30)
-        new_max_bin = (new_f / f_h_safe * max_bins).astype(np.int64)
+        f_h_safe = np.maximum(f_h, np.float32(1e-30))    # f32 [M, H]
+        nf32 = new_f.astype(np.float32)
+        nm32 = new_m.astype(np.float32)
+        new_max_bin = (nf32 / f_h_safe
+                       * max_bins.astype(np.float32)).astype(np.int64)
         shift = new_max_bin - max_bins
         nb = wb + shift[:, :, None]
         ok = sel & wh[:, :, None] & (nb >= 0) & (nb < b_cnt)
-        m_scale = np.where(max_mags != 0,
-                           new_m / np.maximum(max_mags, 1e-30),
-                           0.0).astype(np.float32)
+        m_scale = np.where(
+            max_mags != 0,
+            nm32 / np.maximum(max_mags, 1e-30).astype(np.float32),
+            np.float32(0.0)).astype(np.float32)
         sm = wm * m_scale[:, :, None]
-        smf = wf * (new_f / f_h_safe)[:, :, None]
+        smf = wf * (nf32 / f_h_safe)[:, :, None]
         # ---- batched hann-bump paint where no harmonic energy existed ----
+        # bounds via f32 frequency_to_bin: low = max(0, ceil), high =
+        # min(bins-1, floor) (PVInformation.cpp:403-414); the ceil/floor
+        # inputs must round like the reference's f32 divisions
         wp = hvalid & (max_mags == 0) & (new_f >= 0)
-        bw = 10.0
-        lo_f = new_f - bw / 2.0
-        hi_f = new_f + bw / 2.0
-        w2 = int(bw / bin_width) + 2
+        bw32 = np.float32(10.0)
+        lo_f = nf32 - np.float32(5.0)
+        hi_f = nf32 + np.float32(5.0)
+        w2 = int(10.0 / bin_width) + 2
         pofs = np.arange(w2, dtype=np.int64)
-        lo_bin = np.ceil(lo_f / bin_width).astype(np.int64)
+        lo_bin = np.maximum(
+            0, np.ceil(lo_f / bwd32).astype(np.int64))
+        hi_bin = np.minimum(
+            b_cnt - 1, np.floor(hi_f / bwd32).astype(np.int64))
         pb = lo_bin[:, :, None] + pofs[None, None, :]       # [M, H, W2]
-        okp = (wp[:, :, None] & (pb >= 0) & (pb < b_cnt)
-               & (pb * bin_width <= hi_f[:, :, None]))
-        pos = (pb * bin_width - lo_f[:, :, None]) / bw
-        pval = new_m[:, :, None] * 0.5 * (1.0 - np.cos(2 * np.pi * pos))
+        okp = wp[:, :, None] & (pb <= hi_bin[:, :, None])
+        pos = (pb.astype(np.float32) * bwd32 - lo_f[:, :, None]) / bw32
+        pval = nm32[:, :, None] * np.float32(0.5) * (
+            np.float32(1.0) - np.cos(np.float32(2.0 * np.pi) * pos))
         fidx3p = np.broadcast_to(fr_idx[:, None, None], pb.shape)
         pbc = np.clip(pb, 0, b_cnt - 1)
 
@@ -466,7 +489,9 @@ def _prism_scalar_reference(self, prism_func,
     if self.is_null():
         return PV.create_null()
     min_frequency, max_frequency = 55.0, 1760.0
-    height = self.bin_to_frequency(self.num_bins - 1)
+    # get_height() is bin_to_frequency(num_bins) — one PAST the last bin
+    # (PVBuffer.cpp:391-393)
+    height = self.bin_to_frequency(self.num_bins)
     b_cnt = self.num_bins
 
     src_mag = np.asarray(self.mag)
@@ -503,20 +528,23 @@ def _prism_scalar_reference(self, prism_func,
                 base = float((fr * wmask).sum(dtype=np.float32) / tot)
                 if base < 1.0:
                     continue
-                nharm = int(height / base)
+                # FLOAT32 decision arithmetic throughout, matching the
+                # reference's Frequency/fBin float types (golden-tested)
+                nharm = int(np.float32(height) / np.float32(base))
                 if nharm < 1:
                     continue
 
                 bins_to_change = []
                 for h in range(nharm):
-                    f_h = base * (h + 1)
-                    c_bin = f_h / self.bin_width
+                    f_h = np.float32(base) * np.float32(h + 1)
+                    c_bin = f_h / np.float32(self.bin_width)
                     lo = int(np.clip(c_bin - 10, 0, b_cnt - 1))
                     hi = int(np.clip(c_bin + 10, 0, b_cnt - 1))
                     window = np.arange(lo, hi + 1)
                     wf = fr[window]
-                    sel = (wf > 0.01) & (wf / f_h > _NOTES_CLOSE_LO) \
-                        & (wf / f_h < _NOTES_CLOSE_HI)
+                    sel = (wf > 0.01) \
+                        & (wf / f_h > np.float32(_NOTES_CLOSE_LO)) \
+                        & (wf / f_h < np.float32(_NOTES_CLOSE_HI))
                     bins = window[sel]
                     bins_to_change.append(bins)
                     out_mag[channel, frame, bins] = 0.0
@@ -535,17 +563,20 @@ def _prism_scalar_reference(self, prism_func,
                 t_arg = self.frame_to_time(
                     cf if use_local_contour_time else frame)
                 for h in range(nharm):
-                    f_h = base * (h + 1)
+                    f_h = np.float32(base) * np.float32(h + 1)
                     new_m, new_f = prism_func(ci, t_arg, h + 1, base,
                                               max_mags)
                     if new_f < 0:
                         continue
+                    nf32 = np.float32(new_f)
+                    nm32 = np.float32(new_m)
                     if max_mags[h] != 0:
                         bins = bins_to_change[h]
-                        new_max_bin = int(new_f / f_h * max_bins[h])
+                        new_max_bin = int(nf32 / f_h
+                                          * np.float32(max_bins[h]))
                         shift = new_max_bin - max_bins[h]
-                        f_scale = new_f / f_h
-                        m_scale = new_m / max_mags[h]
+                        f_scale = nf32 / f_h
+                        m_scale = nm32 / max_mags[h]
                         nb = bins + shift
                         ok = (nb >= 0) & (nb < b_cnt)
                         for bsrc, bdst in zip(bins[ok], nb[ok]):
@@ -555,15 +586,19 @@ def _prism_scalar_reference(self, prism_func,
                                 out_freq[channel, frame, bdst] = \
                                     fr[bsrc] * f_scale
                     else:
-                        bw = 10.0
-                        lo_f = new_f - bw / 2
-                        hi_f = new_f + bw / 2
-                        lo = int(max(0, math.ceil(lo_f / self.bin_width)))
+                        bw32 = np.float32(10.0)
+                        lo_f = nf32 - np.float32(5.0)
+                        hi_f = nf32 + np.float32(5.0)
+                        bwd32 = np.float32(self.bin_width)
+                        lo = int(max(0, math.ceil(lo_f / bwd32)))
                         hi = int(min(b_cnt - 1,
-                                     math.floor(hi_f / self.bin_width)))
+                                     math.floor(hi_f / bwd32)))
                         for bdst in range(lo, hi + 1):
-                            pos = (bdst * self.bin_width - lo_f) / bw
-                            out_mag[channel, frame, bdst] = new_m * float(
-                                0.5 * (1 - math.cos(2 * math.pi * pos)))
-                            out_freq[channel, frame, bdst] = new_f
+                            pos = (np.float32(bdst) * bwd32 - lo_f) / bw32
+                            out_mag[channel, frame, bdst] = nm32 * (
+                                np.float32(0.5)
+                                * (np.float32(1.0)
+                                   - np.cos(np.float32(2.0 * math.pi)
+                                            * pos)))
+                            out_freq[channel, frame, bdst] = nf32
     return self._with(mag=jnp.asarray(out_mag), freq=jnp.asarray(out_freq))

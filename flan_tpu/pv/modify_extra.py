@@ -87,11 +87,19 @@ def smear_time(self, smear_size, granularity=5, distribution=None,
     gran = jnp.maximum(jnp.broadcast_to(
         self._sample_2d(granularity), (f, b)), 1.0)
 
-    exp_frames = smear * self.analysis_rate               # [F, B]
-    max_exp = int(np.ceil(float(jnp.max(exp_frames))))
-    left = int(np.ceil(float(jnp.max(exp_frames[0]))))
-    right = int(np.ceil(float(jnp.max(exp_frames[-1]))))
-    f_out = f + left + right
+    exp_frames = smear * self.analysis_rate               # [F, B] float
+    # loop bounds and extents use the TRUNCATED frame count (the Frame
+    # cast of time_to_frame, PVModify.cpp:545,573); the distribution
+    # weights below keep the float smear (golden-tested)
+    exp_int = jnp.trunc(exp_frames)
+    max_exp = int(jnp.max(exp_int))
+    # output extents scan EVERY frame (PVModify.cpp:537-552):
+    # leftmost = min(0, min_f(f - exp)), rightmost = max(F-1, max_f(f + exp))
+    fr_ix = jnp.arange(f, dtype=jnp.float32)[:, None]
+    leftmost = int(jnp.minimum(0.0, jnp.min(fr_ix - exp_int)))
+    rightmost = int(jnp.maximum(float(f - 1), jnp.max(fr_ix + exp_int)))
+    left = -leftmost
+    f_out = rightmost - leftmost
 
     half_taps = max(max_exp, 1)                           # from the data
     if max_kernel is not None and half_taps > max_kernel:
@@ -111,6 +119,7 @@ def smear_time(self, smear_size, granularity=5, distribution=None,
 
     in_frame = jnp.clip(jnp.arange(f_out) - left, 0, f - 1)
     exp_o = exp_frames[in_frame]                          # [F_out, B]
+    exp_o_int = exp_int[in_frame]
     out_rows = jnp.arange(f_out)
 
     # frames padded so every offset is one dynamic_slice of length f_out:
@@ -123,7 +132,9 @@ def smear_time(self, smear_size, granularity=5, distribution=None,
 
     def body(carry, off):
         mag_sum, freq_sum, total_w, used_w = carry
-        in_window = jnp.abs(off) < jnp.maximum(exp_o, 1e-9)
+        # reference window is [-exp, exp) on the truncated int bound
+        # (PVModify.cpp:578): -exp IS included, +exp is not
+        in_window = (off >= -exp_o_int) & (off < exp_o_int)
         dist_in = (off / self.analysis_rate) / jnp.maximum(
             exp_o / self.analysis_rate, 1e-9)
         w = jnp.asarray(distribution(jnp.clip(dist_in, -1.0, 1.0)),
@@ -175,8 +186,14 @@ def time_extrapolate(self, start_time: float, end_time: float,
     ext = int(self.time_to_frame(extrap_time))
     f_out = end + ext
 
+    # Reference quirk (golden-tested): the interpolator table is filled
+    # with interp((i - start_frame)/(end - start)) for i = 0..size-1 but
+    # indexed by (frame - start_frame) (PVModify.cpp:628-631, 640), so
+    # the ramp the output actually sees is shifted a further start_frame
+    # left: output frame k mixes interp((k - 2*start)/(end - start)) —
+    # negative inputs reach the (unclamped) interpolator.
     mix = interp(jnp.asarray(
-        (np.arange(start, f_out) - start) / max(end - start, 1),
+        (np.arange(start, f_out) - 2 * start) / max(end - start, 1),
         jnp.float32))                                     # [F_out-start]
 
     lm = self.mag[:, start][:, None, :]
@@ -188,8 +205,13 @@ def time_extrapolate(self, start_time: float, end_time: float,
     ext_freq = (1 - m) * lf + m * rf
 
     bin_ix = jnp.arange(b)[None, None, :]
-    right_shift = bin_ix - (rf / self.bin_width).astype(jnp.int32)
-    target = (ext_freq / self.bin_width).astype(jnp.int32) + right_shift
+    # C truncation lands on the FLOAT expressions, nested (same rule as
+    # PV::shape, golden-tested): shift = Bin(bin - f2b(right.f)), then
+    # target = Bin(f2b(extrap.f) + shift)
+    right_shift = jnp.trunc(bin_ix.astype(jnp.float32)
+                            - rf / self.bin_width)
+    target = jnp.trunc(ext_freq / self.bin_width
+                       + right_shift).astype(jnp.int32)
     valid = (target >= 0) & (target < b)
     tb = jnp.clip(target, 0, b - 1)
     n_ext = f_out - start
@@ -201,7 +223,7 @@ def time_extrapolate(self, start_time: float, end_time: float,
     write = valid & (ext_mag >= winner)
     sc_freq = jnp.full((c, n_ext, b), -jnp.inf).at[
         chan_ix, frame_ix, tb].max(jnp.where(write, ext_freq, -jnp.inf))
-    sc_freq = jnp.where(jnp.isneginf(sc_freq), 0.0, sc_freq)
+    sc_freq = jnp.where((sc_mag > 0) & jnp.isfinite(sc_freq), sc_freq, 0.0)
 
     out_mag = jnp.concatenate(
         [self.mag[:, :start], jnp.maximum(sc_mag, 0.0)], axis=1)

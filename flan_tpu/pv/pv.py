@@ -113,21 +113,31 @@ class PV(PVBuffer):
         return self._with(mag=mag, freq=freq)
 
     def cut_frames(self, start: int, end: int) -> "PV":
-        """Keep frames [start, end) (reference PV.h:473)."""
-        start = max(0, int(start))
-        end = min(self.num_frames, int(end))
+        """Keep frames [start, end) (reference PV.cpp:643-668).
+
+        Reference quirk (golden-tested via algo_pvjoin): BOTH bounds are
+        clamped to num_frames - 1, so the LAST frame can never be
+        included — cut_frames(a, num_frames) yields num_frames - 1 - a
+        frames. The end<=start null check runs before the clamp."""
+        start, end = int(start), int(end)
         if end <= start:
             return PV.create_null()
+        start = int(np.clip(start, 0, self.num_frames - 1))
+        end = int(np.clip(end, 0, self.num_frames - 1))
         return self._with(mag=self.mag[:, start:end],
                           freq=self.freq[:, start:end])
 
     def split_at_times(self, split_times: Sequence[float]) -> List["PV"]:
-        frames = sorted(int(round(self.time_to_frame(t)))
-                        for t in split_times)
+        """Split at frame boundaries (reference PV.cpp:670-697).
+
+        Quirks preserved: split frames TRUNCATE (the Frame cast of
+        time_to_frame), duplicate split times yield null pieces (the
+        reference never dedupes split_frames), and the final piece
+        loses one frame to cut_frames' end clamp."""
+        frames = sorted(int(self.time_to_frame(t)) for t in split_times)
         bounds = [0] + [f for f in frames if 0 < f < self.num_frames] \
             + [self.num_frames]
-        return [self.cut_frames(a, b) for a, b in zip(bounds, bounds[1:])
-                if b > a]
+        return [self.cut_frames(a, b) for a, b in zip(bounds, bounds[1:])]
 
     @staticmethod
     def join(ins: Sequence["PV"]) -> "PV":

@@ -73,10 +73,46 @@ static void dump_spv(const std::string& name, SPV& spv) {
     d << C << " " << F << " " << B << "\n";
 }
 
+// Tonal input PV for the melodia-family fixtures (salience / contours /
+// prism): one gliding harmonic tone (f0 ~220 Hz, +-60 cents over 96
+// frames) over a -60 dB hash-noise floor. 96 frames beats prism's
+// internal filter_short=60 contour gate (PVInformation.cpp:299).
+// Reproducible in numpy (tests/test_algo_golden.py _tonal_pv).
+static PV make_tonal_pv() {
+    const int C = 1, F = 96, B = 17;
+    PVBuffer::Format fmt;
+    fmt.num_channels = C;
+    fmt.num_frames = F;
+    fmt.num_bins = B;
+    fmt.sample_rate = 8000.0f;
+    fmt.analysis_rate = 1000.0f;
+    fmt.window_size = 32;
+    PVBuffer buf(fmt);
+    size_t i = 0;
+    for (int f = 0; f < F; ++f) {
+        const float f0 = 220.0f * std::pow(
+            2.0f, 0.05f * std::sin(2.0f * 3.14159265358979323846f
+                                   * (float)f / 96.0f));
+        for (int b = 0; b < B; ++b, ++i) {
+            const uint32_t h = (uint32_t)(i * 2654435761u);
+            const float m = 0.001f * (float)(h % 1000u) / 1000.0f;
+            const float fr = (float)b * 250.0f
+                             + ((float)(h % 201u) / 100.0f - 1.0f) * 50.0f;
+            buf.set_MF(0, f, b, MF{m, fr});
+        }
+        for (int hm = 1; hm <= 6; ++hm) {
+            const float hf = f0 * (float)hm;
+            const int b = (int)std::lround(hf / 250.0f);
+            if (b < B) buf.set_MF(0, f, b, MF{1.0f / (float)hm, hf});
+        }
+    }
+    return PV(std::move(buf));
+}
+
 // Deterministic input PV, reproducible in numpy (tests/test_algo_golden.py):
 // m = (i*2654435761 % 2^32 % 1000)/1000, freq near bin center with hash
 // jitter; sr=8000, dft=32 (B=17), hop=8 (analysis_rate=1000), window=32.
-static PV make_input_pv() {
+static PV make_input_pv(size_t seed = 0) {
     const int C = 2, F = 24, B = 17;
     PVBuffer::Format fmt;
     fmt.num_channels = C;
@@ -90,8 +126,8 @@ static PV make_input_pv() {
     for (int c = 0; c < C; ++c)
         for (int f = 0; f < F; ++f)
             for (int b = 0; b < B; ++b, ++i) {
-                const uint32_t h = (uint32_t)(i * 2654435761u);
-                const uint32_t h2 = (uint32_t)((i + 131) * 2246822519u);
+                const uint32_t h = (uint32_t)((i + seed) * 2654435761u);
+                const uint32_t h2 = (uint32_t)((i + seed + 131) * 2246822519u);
                 const float m = (float)(h % 1000u) / 1000.0f;
                 const float jit = (float)(h2 % 2001u) / 1000.0f - 1.0f;
                 const float fr = ((float)b + 0.45f * jit) * 250.0f;
@@ -182,6 +218,167 @@ int main(int argc, char** argv) {
                     [](std::pair<Second, Harmonic> sh) {
                         return 1.0f / (1.0f + (float)sh.second);
                     })));
+
+    // =====================================================================
+    // Round 5b: the remaining PV surface — utility/combination/generation
+    // (PV.cpp), the modify extras (PVModify.cpp:387-657), and the melodia
+    // family (PVInformation.cpp). Everything here is deterministic (the
+    // one RNG branch, synthesize's frequency scatter, is disabled by
+    // std_dev = 0).
+    // =====================================================================
+
+    // --- PV.cpp:129-203 freeze ------------------------------------------
+    dump_pv("algo_freeze",
+            in.freeze({0.004f, 0.012f}, {0.003f, 0.005f}));
+
+    // --- PV.cpp:24-39 get_frame (interframe lerp) ------------------------
+    dump_pv("algo_getframe", in.get_frame(0.0105f));
+
+    // --- PV.cpp:205-270 replace/subtract_amplitudes ----------------------
+    const PV in2 = make_input_pv(997);
+    dump_pv("algo_replace_amp",
+            in.replace_amplitudes(
+                in2, Function<TF, float>([](TF tf) {
+                    return 0.25f + 20.0f * tf.t;
+                })));
+    dump_pv("algo_subtract_amp",
+            in.subtract_amplitudes(
+                in2, Function<TF, float>([](TF) { return 0.5f; })));
+
+    // --- PV.cpp:271-356 synthesize (std_dev 0 => deterministic) ----------
+    dump_pv("algo_synth",
+            PV::synthesize(
+                0.02f,
+                Function<Second, Frequency>([](Second t) {
+                    return 400.0f + 3000.0f * t;
+                }),
+                Function<std::pair<Second, Harmonic>, Magnitude>(
+                    [](std::pair<Second, Harmonic> sh) {
+                        return 1.0f / (1.0f + (float)sh.second);
+                    }),
+                Function<Second, Frequency>([](Second) { return 120.0f; }),
+                Function<TF, Frequency>([](TF) { return 0.0f; })));
+
+    // --- PV.cpp:421-588 shape (both alignment modes) ----------------------
+    dump_pv("algo_shape_t",
+            in.shape(Function<MF, MF>([](MF mf) {
+                         return MF{mf.m * 0.7f + 0.1f,
+                                   mf.f * 0.95f + 30.0f};
+                     }),
+                     true));
+    dump_pv("algo_shape_f",
+            in.shape(Function<MF, MF>([](MF mf) {
+                         return MF{mf.m * 0.7f + 0.1f,
+                                   mf.f * 0.95f + 30.0f};
+                     }),
+                     false));
+
+    // --- PV.cpp:590-600 retain/remove_n_loudest_partials ------------------
+    dump_pv("algo_retain",
+            in.retain_n_loudest_partials(Function<Second, Bin>(
+                [](Second t) { return (Bin)(2 + t * 250.0f); })));
+    dump_pv("algo_remove",
+            in.remove_n_loudest_partials(Function<Second, Bin>(
+                [](Second t) { return (Bin)(2 + t * 250.0f); })));
+
+    // --- PV.cpp:602-641 resonate ------------------------------------------
+    dump_pv("algo_resonate",
+            in.resonate(0.04f, Function<TF, float>([](TF tf) {
+                            return 0.3f + 10.0f * tf.t;
+                        })));
+
+    // --- PVModify.cpp:387-443 stretch_spline ------------------------------
+    dump_pv("algo_spline",
+            in.stretch_spline(Function<Second, float>(
+                [](Second t) { return 2.0f + 30.0f * t; })));
+
+    // --- PVModify.cpp:445-511 desample -------------------------------------
+    dump_pv("algo_desample",
+            in.desample(Function<TF, float>([](TF tf) {
+                            return 0.4f + 10.0f * tf.t;
+                        }),
+                        Interpolator::linear()));
+
+    // --- PVModify.cpp:513-605 smear_time -----------------------------------
+    dump_pv("algo_smear",
+            in.smear_time(
+                Function<TF, Second>([](TF) { return 0.004f; }),
+                Function<TF, int>([](TF) { return 2; }),
+                Function<Second, float>([](Second t) {
+                    return 0.5f * (1.0f + std::cos(
+                        3.14159265358979323846f * t));
+                })));
+
+    // --- PVModify.cpp:607-657 time_extrapolate -----------------------------
+    dump_pv("algo_extrap",
+            in.time_extrapolate(0.008f, 0.016f, 0.01f,
+                                Interpolator::linear()));
+
+    // --- PV.cpp:643-731 cut_frames + join -----------------------------------
+    dump_pv("algo_cutf", in.cut_frames(5, 17));
+    {
+        std::vector<PV> parts;
+        parts.push_back(in.cut_frames(0, 10));
+        parts.push_back(in.cut_frames(10, 24));
+        dump_pv("algo_pvjoin", PV::join(parts));
+    }
+
+    // --- PVInformation.cpp: salience / contours / prism on the tonal PV ---
+    {
+        const PV tonal = make_tonal_pv();
+        dump_pv("algo_tonal_in", tonal);
+
+        PV::Salience sal = tonal.get_salience(0, 55.0f, 1760.0f);
+        dump_f32("info_salience.f32", sal.buffer.data(), sal.buffer.size());
+        {
+            std::ofstream d(g_dir + "info_salience.dims");
+            d << sal.num_frames << " " << sal.num_bins << "\n";
+        }
+
+        // contours flattened: per contour [pitch_mean, pitch_std_dev,
+        // salience_mean, salience_std_dev, start_frame, num_bins,
+        // bins...(x,y)]
+        std::vector<PV::Contour> cons =
+            tonal.get_contours(0, 55.0f, 1760.0f, 30, 20.0f);
+        std::vector<float> cd;
+        for (const auto& c : cons) {
+            cd.push_back(c.pitch_mean);
+            cd.push_back(c.pitch_std_dev);
+            cd.push_back(c.salience_mean);
+            cd.push_back(c.salience_std_dev);
+            cd.push_back((float)c.start_frame);
+            cd.push_back((float)c.bins.size());
+            for (const auto& v : c.bins) {
+                cd.push_back(v.x());
+                cd.push_back(v.y());
+            }
+        }
+        dump_f32("info_contours.f32", cd.data(), cd.size());
+        {
+            std::ofstream d(g_dir + "info_contours.dims");
+            d << cons.size() << " " << cd.size() << "\n";
+        }
+
+        // prism: deterministic harmonic rewrite, both time conventions.
+        // Call convention (PVInformation.cpp:368-373): h is 1-based,
+        // harmonicMagnitudes is 0-indexed per h-1.
+        dump_pv("algo_prism_local",
+                tonal.prism(PrismFunc([](Index, Second, Harmonic h,
+                                         Frequency f,
+                                         const std::vector<Magnitude>& hM) {
+                                return MF{hM[h - 1] * (1.1f - 0.05f * h),
+                                          f * (float)h * 1.02f};
+                            }),
+                            true));
+        dump_pv("algo_prism_global",
+                tonal.prism(PrismFunc([](Index, Second t, Harmonic h,
+                                         Frequency f,
+                                         const std::vector<Magnitude>& hM) {
+                                return MF{hM[h - 1] * (0.9f + 4.0f * t),
+                                          f * (float)h};
+                            }),
+                            false));
+    }
 
     // --- AudioSPV.cpp:24-106 sliding-DFT forward + :113-145 inverse -----
     {
