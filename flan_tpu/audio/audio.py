@@ -75,8 +75,8 @@ class Audio(AudioBuffer):
     @staticmethod
     def load_from_file(filename: str,
                        return_strings: bool = False):
-        """Load WAV, FLAC, AIFF/AIFF-C, or Ogg/Vorbis, sniffed by
-        stream magic
+        """Load WAV, FLAC, AIFF/AIFF-C, Ogg/Vorbis, AU, CAF, or Wave64,
+        sniffed by stream magic
         (reference AudioConstructors.cpp:35; libsndfile format dispatch
         AudioBuffer.cpp:86-117)."""
         with open(filename, "rb") as f:
@@ -94,6 +94,18 @@ class Audio(AudioBuffer):
             from flan_tpu.io.ogg import read_ogg
             data, sr = read_ogg(filename)
             strings = SndfileStrings()
+        elif magic == b".snd":
+            from flan_tpu.io.au import read_au
+            data, sr = read_au(filename)
+            strings = SndfileStrings()
+        elif magic == b"caff":
+            from flan_tpu.io.caf import read_caf
+            data, sr = read_caf(filename)
+            strings = SndfileStrings()
+        elif magic == b"riff":           # Wave64's lowercase riff GUID
+            from flan_tpu.io.w64 import read_w64
+            data, sr = read_w64(filename)
+            strings = SndfileStrings()
         else:
             from flan_tpu.io.wav import read_wav
             data, sr, strings = read_wav(filename)
@@ -103,9 +115,22 @@ class Audio(AudioBuffer):
     def save_to_file(self, filename: str,
                      strings: Optional[SndfileStrings] = None) -> None:
         """Save WAV float32, FLAC for .flac, AIFF-C float32 for
-        .aiff/.aif/.aifc, or Ogg/Vorbis for .ogg/.oga (reference
+        .aiff/.aif/.aifc, Ogg/Vorbis for .ogg/.oga, AU for .au/.snd,
+        CAF for .caf, or Wave64 for .w64 (reference
         AudioBuffer.cpp:139-190)."""
         low = filename.lower()
+        if low.endswith((".au", ".snd")):
+            from flan_tpu.io.au import write_au
+            write_au(filename, np.asarray(self.data), self.sample_rate)
+            return
+        if low.endswith(".caf"):
+            from flan_tpu.io.caf import write_caf
+            write_caf(filename, np.asarray(self.data), self.sample_rate)
+            return
+        if low.endswith(".w64"):
+            from flan_tpu.io.w64 import write_w64
+            write_w64(filename, np.asarray(self.data), self.sample_rate)
+            return
         if low.endswith(".flac"):
             from flan_tpu.io.flac import write_flac
             write_flac(filename, np.asarray(self.data), self.sample_rate)

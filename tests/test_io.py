@@ -185,3 +185,168 @@ def test_ogg_rejects_garbage(tmp_path):
     open(p, "wb").write(b"OggS" + b"\x00" * 64)
     with pytest.raises(ValueError):
         read_ogg(p)
+
+
+# --- AU / CAF / Wave64 codecs (io/au.py, io/caf.py, io/w64.py; reference
+# reads every libsndfile format, AudioBuffer.cpp:86-117) ----------------
+
+def test_au_float_roundtrip_lossless(tmp_path):
+    from flan_tpu.io.au import read_au, write_au
+    x = _aiff_sig()
+    p = str(tmp_path / "a.au")
+    write_au(p, x, 44100.0)             # default: big-endian float32
+    y, sr = read_au(p)
+    assert sr == 44100.0
+    np.testing.assert_array_equal(y, x)
+    assert open(p, "rb").read()[:4] == b".snd"
+
+
+@pytest.mark.parametrize("bits,tol", [(8, 1 / 128), (16, 1 / 32768),
+                                      (24, 1 / (1 << 23)),
+                                      (32, 1 / (1 << 24))])
+def test_au_pcm_roundtrip(tmp_path, bits, tol):
+    from flan_tpu.io.au import read_au, write_au
+    x = _aiff_sig(1)
+    p = str(tmp_path / f"p{bits}.au")
+    write_au(p, x, 48000.0, bits=bits)
+    y, sr = read_au(p)
+    assert sr == 48000.0 and y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=tol * 1.01)
+
+
+def test_au_g711_table_endpoints(tmp_path):
+    """G.711 decode vs ITU table values: mu-law 0x00 -> -32124,
+    0xFF -> 0, 0x7F -> -0 band edge +32124 at 0x80; A-law 0xD5 -> +8,
+    0x55 -> -8, 0xAA -> +... known pairs from the libsndfile tables."""
+    import struct
+    from flan_tpu.io.au import read_au
+
+    def make(enc, payload, p):
+        with open(p, "wb") as f:
+            f.write(b".snd" + struct.pack(">IIIII", 24, len(payload),
+                                          enc, 8000, 1) + payload)
+
+    pu = str(tmp_path / "u.au")
+    make(1, bytes([0x00, 0xFF, 0x80, 0x7F]), pu)
+    yu, sr = read_au(pu)
+    assert sr == 8000.0
+    np.testing.assert_array_equal(
+        np.round(yu[0] * 32768.0), [-32124.0, 0.0, 32124.0, -0.0])
+
+    pa = str(tmp_path / "a.au")
+    make(27, bytes([0xD5, 0x55, 0x80, 0x00]), pa)
+    ya, _ = read_au(pa)
+    # 0x80 ^ 0x55 = 0xD5: sign set, exp 5, mant 5 -> (0x158) << 4 = 5504
+    # 0x00 ^ 0x55 = 0x55: sign 0, exp 5, mant 5 -> -5504
+    np.testing.assert_array_equal(
+        np.round(ya[0] * 32768.0), [8.0, -8.0, 5504.0, -5504.0])
+
+
+def test_au_unknown_size_reads_to_eof(tmp_path):
+    """data size 0xFFFFFFFF (the streaming convention) -> read to EOF."""
+    import struct
+    from flan_tpu.io.au import read_au
+    q = np.array([1000, -1000, 32767], ">i2")
+    p = str(tmp_path / "s.au")
+    with open(p, "wb") as f:
+        f.write(b".snd" + struct.pack(">IIIII", 24, 0xFFFFFFFF, 3,
+                                      22050, 1) + q.tobytes())
+    y, sr = read_au(p)
+    assert sr == 22050.0 and y.shape == (1, 3)
+    np.testing.assert_allclose(y[0] * 32768.0, q.astype(np.float32))
+
+
+def test_caf_float_roundtrip_lossless(tmp_path):
+    from flan_tpu.io.caf import read_caf, write_caf
+    x = _aiff_sig()
+    p = str(tmp_path / "a.caf")
+    write_caf(p, x, 96000.0)            # default: LE float32 lpcm
+    y, sr = read_caf(p)
+    assert sr == 96000.0
+    np.testing.assert_array_equal(y, x)
+    assert open(p, "rb").read()[:4] == b"caff"
+
+
+@pytest.mark.parametrize("bits,tol", [(16, 1 / 32768), (24, 1 / (1 << 23)),
+                                      (32, 1 / (1 << 24))])
+def test_caf_pcm_roundtrip(tmp_path, bits, tol):
+    from flan_tpu.io.caf import read_caf, write_caf
+    x = _aiff_sig(1)
+    p = str(tmp_path / f"p{bits}.caf")
+    write_caf(p, x, 48000.0, bits=bits)
+    y, sr = read_caf(p)
+    assert sr == 48000.0 and y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=tol * 1.01)
+
+
+def test_caf_big_endian_and_eof_data(tmp_path):
+    """Hand-built BE int16 'lpcm' with data size -1 (to-EOF) and a
+    skipped foreign chunk before it."""
+    import struct
+    from flan_tpu.io.caf import read_caf
+    q = np.array([[300, -300], [20000, -20000]], ">i2")  # 2 frames, 2 ch
+    desc = struct.pack(">d4sIIIII", 32000.0, b"lpcm", 0, 4, 1, 2, 16)
+    p = str(tmp_path / "b.caf")
+    with open(p, "wb") as f:
+        f.write(b"caff" + struct.pack(">HH", 1, 0))
+        f.write(b"desc" + struct.pack(">q", len(desc)) + desc)
+        f.write(b"free" + struct.pack(">q", 6) + b"\x00" * 6)
+        f.write(b"data" + struct.pack(">q", -1)
+                + struct.pack(">I", 0) + q.tobytes())
+    y, sr = read_caf(p)
+    assert sr == 32000.0 and y.shape == (2, 2)
+    np.testing.assert_allclose(
+        y * 32768.0, q.astype(np.float32).T)
+
+
+def test_w64_float_roundtrip_lossless(tmp_path):
+    from flan_tpu.io.w64 import read_w64, write_w64
+    x = _aiff_sig()
+    p = str(tmp_path / "a.w64")
+    write_w64(p, x, 44100.0)            # default: LE float32
+    y, sr = read_w64(p)
+    assert sr == 44100.0
+    np.testing.assert_array_equal(y, x)
+    blob = open(p, "rb").read()
+    assert blob[:4] == b"riff" and blob[24:28] == b"wave"
+    # the riff size field spans the whole file, header included
+    import struct
+    assert struct.unpack("<q", blob[16:24])[0] == len(blob)
+
+
+@pytest.mark.parametrize("bits,tol", [(16, 1 / 32768), (24, 1 / (1 << 23)),
+                                      (32, 1 / (1 << 24))])
+def test_w64_pcm_roundtrip(tmp_path, bits, tol):
+    from flan_tpu.io.w64 import read_w64, write_w64
+    x = _aiff_sig(1)
+    p = str(tmp_path / f"p{bits}.w64")
+    write_w64(p, x, 48000.0, bits=bits)
+    y, sr = read_w64(p)
+    assert sr == 48000.0 and y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=tol * 1.01)
+
+
+def test_audio_au_caf_w64_dispatch(tmp_path):
+    """save_to_file routes by extension; load_from_file by magic."""
+    from flan_tpu import Audio
+    import jax.numpy as jnp
+    x = _aiff_sig()
+    a = Audio(data=jnp.asarray(x), sample_rate=32000.0)
+    for ext in ("au", "snd", "caf", "w64"):
+        p = str(tmp_path / f"d.{ext}")
+        a.save_to_file(p)
+        b = Audio.load_from_file(p)
+        assert b.sample_rate == 32000.0, ext
+        np.testing.assert_array_equal(np.asarray(b.data), x)
+
+
+def test_new_codecs_reject_garbage(tmp_path):
+    from flan_tpu.io.au import read_au
+    from flan_tpu.io.caf import read_caf
+    from flan_tpu.io.w64 import read_w64
+    for name, reader in (("g.au", read_au), ("g.caf", read_caf),
+                         ("g.w64", read_w64)):
+        p = str(tmp_path / name)
+        open(p, "wb").write(b"garbage bytes, not audio at all....." * 3)
+        with pytest.raises(ValueError):
+            reader(p)
