@@ -273,10 +273,13 @@ def main(argv=None, cancel=None) -> int:
             if wt.is_null():
                 raise SystemExit("wavetable extraction found no waveforms "
                                  "(input too short or unpitched)")
-            nw = max(wt.get_num_waveforms() - 1, 0)
+            # ratio is [0, 1] start-to-end of the table (Wavetable.h:81);
+            # stop just short of 1: the reference's table keeps one
+            # all-zero slot past the last resampled cycle and r=1 lands
+            # on it (Wavetable.cpp:77-88)
             rendered.append(wt.synthesize(
                 args.length, args.freq,
-                lambda t, _n=nw, _l=args.length: _n * t / _l))
+                lambda t, _l=args.length: 0.98 * t / _l))
         _save_all(rendered, args.inputs, args.out_dir)
     elif args.cmd == "stereo-delay":
         clips = _load(args.inputs)

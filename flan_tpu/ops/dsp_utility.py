@@ -148,15 +148,17 @@ def select_wavelength_batched(d_prime: jnp.ndarray, *,
     big = jnp.float32(1e30)
     ys_masked = jnp.where(valid, ys, big)
     min_y = jnp.min(ys_masked, axis=-1, keepdims=True)
-    # Absolute floor on the 2x band: for near-perfect periodicity every
-    # harmonically-related valley sits within float noise of 0, and the
-    # bare 2x rule (reference AudioInformation.cpp:156-162) would select a
-    # subharmonic; for real signals min_y ~ 0.05+ and the 2x rule wins.
-    near = valid & (ys < jnp.maximum(min_y * 2.0, min_y + 1e-2))
+    # The BARE 2x band, exactly as the reference: when the interpolated
+    # minimum overshoots NEGATIVE, y < 2*y_min excludes every valley
+    # (including the minimum itself: y<0 makes y < 2y false), best stays
+    # the default (0,0), and the hop reports wavelength 0 — an accident
+    # of the rule the wavetable golden (wt_wl, cutoff=1) pins
+    # (AudioInformation.cpp:156-165).
+    near = valid & (ys < min_y * 2.0)
     # smallest lag among 'near' valleys
     first = jnp.argmax(near, axis=-1)
     any_near = jnp.any(near, axis=-1)
     rows = jnp.arange(h)
-    best_x = xs[rows, first]
-    best_y = ys[rows, first]
-    return jnp.where(any_near & (best_y < absolute_cutoff), best_x, 0.0)
+    best_x = jnp.where(any_near, xs[rows, first], 0.0)
+    best_y = jnp.where(any_near, ys[rows, first], 0.0)
+    return jnp.where(best_y < absolute_cutoff, best_x, 0.0)

@@ -207,9 +207,12 @@ def test_cli_wavetable(tmp_path):
     from flan_tpu.cli import main
     sr = 8000.0
     t = np.arange(int(sr), dtype=np.float32) / sr
-    # evolving pitched tone so the table has multiple distinct waves
-    x = (0.5 * np.sin(2 * np.pi * 220 * t)
-         + 0.2 * np.sin(2 * np.pi * 440 * t) * t).astype(np.float32)
+    # drifting harmonic tone: YIN-trackable (the reference gate rejects
+    # perfectly periodic inputs) and the growing 2nd harmonic keeps the
+    # table's waves distinct
+    ph = 2 * np.pi * (220.0 * t + 10.0 * t * t)
+    x = (0.5 * np.sin(ph) + 0.2 * np.sin(2 * ph) * t
+         + 0.1 * np.sin(3 * ph + 1.0)).astype(np.float32)
     p = str(tmp_path / "in.wav")
     Audio.create_from_array(x[None], sr).save_to_file(p)
     out_dir = str(tmp_path / "out")

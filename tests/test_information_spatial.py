@@ -14,18 +14,49 @@ def sine(freq, seconds=0.5, amp=0.5):
         (amp * np.sin(2 * np.pi * freq * t))[None], SR)
 
 
+def tone(freq, seconds=0.5, amp=0.5, drift=10.0):
+    """Harmonic-rich drifting tone. The reference's YIN gate rejects
+    PERIODIC signals — on an exact repeat the parabolic minimum of d'
+    overshoots negative and the bare 2x band self-excludes (see
+    test_periodic_wavelength_quirk) — so pitch tests need a chirp."""
+    t = np.arange(int(seconds * SR), dtype=np.float32) / SR
+    ph = 2 * np.pi * (freq * t + drift * t * t)
+    x = amp * (np.sin(ph) + 0.4 * np.sin(2 * ph + 0.7)
+               + 0.15 * np.sin(3 * ph + 1.9))
+    return Audio.create_from_array(x[None].astype(np.float32), SR)
+
+
 def test_local_wavelength():
-    a = sine(200.0)  # wavelength = 40 frames
+    a = tone(200.0)  # wavelength ~40 frames (drifting slightly down)
     wl = a.get_local_wavelength(0, 100, 1024)
-    assert wl == pytest.approx(40.0, abs=1.0)
+    # the compiled reference measures 39.8039 on this signal
+    assert wl == pytest.approx(39.8, abs=1.0)
+
+
+def test_periodic_wavelength_quirk():
+    """Reference quirk (verified against the compiled reference): on a
+    perfectly PERIODIC input — pure sine or static harmonic tone — the
+    parabolic interpolation of the deepest d' valley overshoots
+    negative, the bare 2x octave band y < 2*y_min excludes every valley
+    (y<0 makes it false even for the minimum itself), and
+    get_local_wavelength reports 0 (AudioInformation.cpp:156-165). The
+    wt_wl golden pins the same behavior per-hop on a real signal."""
+    a = sine(200.0)
+    assert a.get_local_wavelength(0, 100, 1024) == 0.0
+    b = tone(200.0, drift=0.0)
+    assert b.get_local_wavelength(0, 100, 1024) == 0.0
 
 
 def test_local_frequencies():
-    a = sine(250.0, seconds=1.0)
+    a = tone(250.0, seconds=1.0)
     freqs = a.get_local_frequencies(0, 0, -1, 1024, 256)
-    freqs = freqs[freqs > 0]
-    assert len(freqs) > 5
-    assert np.median(freqs) == pytest.approx(250.0, rel=0.03)
+    pos = freqs[freqs > 0]
+    assert len(pos) > 3
+    # hops report the fundamental (~250-270 with the drift) or its
+    # octave-down — the reference behaves identically (probe-verified);
+    # the exact hop pattern is chaotic in the input's last ulp
+    folded = np.where(pos < 180, pos * 2, pos)
+    assert np.all((230 < folded) & (folded < 290))
 
 
 def test_amplitude_envelope():

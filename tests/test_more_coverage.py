@@ -26,9 +26,15 @@ def test_frequency_response_helper():
 
 
 def test_get_average_wavelength():
-    a = sine(200.0, seconds=1.0)  # wavelength 40
+    # drifting harmonic tone: the reference's YIN gate rejects perfectly
+    # periodic inputs (test_information_spatial.test_periodic_wavelength_quirk)
+    t = np.arange(int(SR), dtype=np.float32) / SR
+    ph = 2 * np.pi * (200.0 * t + 10.0 * t * t)
+    x = 0.5 * (np.sin(ph) + 0.4 * np.sin(2 * ph + 0.7)
+               + 0.15 * np.sin(3 * ph + 1.9))
+    a = Audio.create_from_array(x[None].astype(np.float32), SR)
     avg = a.get_average_wavelength(0, 0.2, 64.0, 0, -1, 1024, 256)
-    assert avg == pytest.approx(40.0, abs=1.5)
+    assert avg == pytest.approx(39.0, abs=2.0)  # ~205 Hz mid-clip
     silent = Audio.create_from_array(np.zeros((1, 4000), np.float32), SR)
     assert silent.get_average_wavelength(0) in (-1.0, 0.0, -1)
 

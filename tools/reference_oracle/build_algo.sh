@@ -73,6 +73,7 @@ g++ -std=c++20 -O2 -I "$BUILD" -I "$REF/src" -I "$HERE/stubs" \
     "$REF/src/flan/Audio/AudioSpatial.cpp" \
     "$REF/src/flan/Audio/AudioSynthesis.cpp" \
     "$REF/src/flan/Audio/AudioInformation.cpp" \
+    "$REF/src/flan/Wavetable.cpp" \
     "$REF/src/WDL/resample.cpp" \
     "$REF/src/flan/Audio/AudioMod.cpp" \
     "$REF/src/r8brain/r8bbase.cpp" \

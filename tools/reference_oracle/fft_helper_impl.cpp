@@ -54,6 +54,33 @@ void fft_inplace(std::complex<float>* a, size_t n, int sign) {
     }
 }
 
+// O(n^2) DFT for non-power-of-two sizes (double accumulation, same
+// FFTW-unnormalized conventions). Wavetable::resample_waveforms
+// (Wavetable.cpp:67-132) transforms ARBITRARY per-cycle lengths — the
+// only reference call site not routed through power_of_2_container.
+void naive_dft(std::complex<float>* a, size_t n, int sign) {
+    std::vector<std::complex<double>> in(n), out(n);
+    for (size_t i = 0; i < n; ++i) in[i] = std::complex<double>(a[i]);
+    for (size_t k = 0; k < n; ++k) {
+        std::complex<double> acc(0.0, 0.0);
+        for (size_t j = 0; j < n; ++j) {
+            const double ang = sign * 2.0 * M_PI * (double)(k * j % n)
+                / (double)n;
+            acc += in[j] * std::complex<double>(std::cos(ang),
+                                                std::sin(ang));
+        }
+        out[k] = acc;
+    }
+    for (size_t k = 0; k < n; ++k) a[k] = std::complex<float>(out[k]);
+}
+
+void transform(std::complex<float>* a, size_t n, int sign) {
+    if (n & (n - 1))
+        naive_dft(a, n, sign);
+    else
+        fft_inplace(a, n, sign);
+}
+
 }  // namespace
 
 struct OraclePlan {
@@ -85,7 +112,7 @@ void FFTHelper::r2c_execute() {
     auto& w = ((OraclePlan*)r2c_plan)->work;
     const size_t n = _real_buffer_size;
     for (size_t i = 0; i < n; ++i) w[i] = real_buffer[i];
-    fft_inplace(w.data(), n, -1);
+    transform(w.data(), n, -1);
     for (size_t k = 0; k < complex_buffer_size(); ++k) complex_buffer[k] = w[k];
 }
 
@@ -95,7 +122,7 @@ void FFTHelper::c2r_execute() {
     const size_t bins = complex_buffer_size();
     for (size_t k = 0; k < bins; ++k) w[k] = complex_buffer[k];
     for (size_t k = bins; k < n; ++k) w[k] = std::conj(complex_buffer[n - k]);
-    fft_inplace(w.data(), n, +1);
+    transform(w.data(), n, +1);
     for (size_t i = 0; i < n; ++i) real_buffer[i] = w[i].real();
 }
 

@@ -27,6 +27,7 @@
 #include "flan/PV/PV.h"
 #include "flan/SPV/SPV.h"
 #include "flan/Utility/Interpolator.h"
+#include "flan/Wavetable.h"
 
 using namespace flan;
 
@@ -582,6 +583,119 @@ int main(int argc, char** argv) {
             std::ofstream d3(g_dir + "info_energy.dims");
             d3 << 1 << " " << en.size() << "\n";
         }
+    }
+
+    // --- Wavetable.cpp (round 5: the last family without compiled-
+    // reference goldens). Driven through the public surface: waveform
+    // counts + synthesize output audio. Covers the constructor
+    // segmentation walk (fixed and pitch-tracked), zero-crossing
+    // snapping, the FFT-interpolation table build with its
+    // zero-crossing realign (Wavetable.cpp:67-132), the WDL-sinc
+    // blockwise playback with table crossfade (Wavetable.cpp:266-334),
+    // the edit ops, and the functional constructor (num_waves=1; the
+    // table-fill indexing bug for num_waves>1, Wavetable.cpp:246-247,
+    // is documented in docs/PARITY.md rather than replicated).
+    {
+        const float sr = 8000.0f;
+        const int n = 8000;
+        std::vector<float> sig(n);
+        for (int i = 0; i < n; ++i) {
+            const double t = (double)i / sr;
+            const double ph = 2.0 * M_PI * (170.0 * t + 10.0 * t * t);
+            sig[i] = (float)(0.6 * std::sin(ph)
+                             + 0.25 * std::sin(2.0 * ph + 0.7)
+                             + 0.1 * std::sin(3.0 * ph + 1.9));
+        }
+        dump_f32("wt_src.f32", sig.data(), sig.size());
+        {
+            std::ofstream d(g_dir + "wt_src.dims");
+            d << 1 << " " << n << "\n";
+        }
+        const Audio a = Audio::create_from_buffer(
+            std::vector<float>(sig), 1, sr);
+
+        auto dump_audio = [&](const std::string& name, const Audio& out) {
+            const int oc = out.get_num_channels(), on = out.get_num_frames();
+            std::vector<float> buf((size_t)oc * on);
+            for (int c = 0; c < oc; ++c)
+                for (int i = 0; i < on; ++i)
+                    buf[(size_t)c * on + i] = out.get_sample(c, i);
+            dump_f32(name + ".f32", buf.data(), buf.size());
+            std::ofstream d(g_dir + name + ".dims");
+            d << oc << " " << on << "\n";
+        };
+
+        // diagnosis fixture: the exact pitch inputs the constructor sees
+        // (lowpassed source, window=wavelength, hop=128, cutoff=1, min=32)
+        const Audio lp = a.filter_1pole_lowpass(4000, 2);
+        std::vector<float> wl = lp.get_local_wavelengths(
+            0, 0, -1, 128, 128, 1, 32);
+        dump_f32("wt_wl.f32", wl.data(), wl.size());
+        const float avg = lp.get_average_wavelength(wl, .2, 64);
+        {
+            std::ofstream d(g_dir + "wt_wl.dims");
+            d << 1 << " " << wl.size() << " " << avg << "\n";
+        }
+
+        // arm 1: fixed frame size, no snapping — isolates the FFT table
+        // build + playback from the pitch tracker
+        Wavetable wt_fix(a, Wavetable::SnapMode::None,
+                         Wavetable::PitchMode::None, 128, .3f, 45);
+        dump_audio("wt_fix_synth", wt_fix.synthesize(
+            0.25f,
+            Function<Second, Frequency>(
+                [](Second t) { return 220.0f + 100.0f * t; }),
+            Function<Second, float>([](Second t) { return 0.9f * t; }),
+            true, 0.001f));
+
+        // arm 2: zero-snap + local pitch — the full constructor path;
+        // smooth=false reads the left table entry only
+        Wavetable wt_loc(a, Wavetable::SnapMode::Zero,
+                         Wavetable::PitchMode::Local, 128, .3f, 256);
+        dump_audio("wt_loc_synth", wt_loc.synthesize(
+            0.25f,
+            Function<Second, Frequency>(
+                [](Second t) { return 160.0f + 80.0f * t; }),
+            Function<Second, float>(
+                [](Second t) { return 0.5f + 0.4f * t; }),
+            false, 0.001f));
+        {
+            std::ofstream d(g_dir + "wt_meta.dims");
+            d << wt_fix.get_num_waveforms(0) << " "
+              << wt_loc.get_num_waveforms(0) << "\n";
+        }
+
+        // arm 3: edit ops on the pitch-tracked table, then resynthesize
+        wt_loc.add_fades_in_place(16);
+        wt_loc.remove_dc_in_place();
+        wt_loc.normalize_in_place();
+        dump_audio("wt_edit_synth", wt_loc.synthesize(
+            0.125f,
+            Function<Second, Frequency>([](Second) { return 200.0f; }),
+            Function<Second, float>([](Second t) { return 2.0f * t; }),
+            true, 0.001f));
+
+        // arm 3b: remove_jumps on the fixed table
+        wt_fix.remove_jumps_in_place(12);
+        dump_audio("wt_jump_synth", wt_fix.synthesize(
+            0.125f,
+            Function<Second, Frequency>([](Second) { return 300.0f; }),
+            Function<Second, float>([](Second t) { return 0.8f * t; }),
+            true, 0.001f));
+
+        // arm 4: functional constructor (table sample rate 48000)
+        const Wavetable wt_fn(
+            Function<Second, Amplitude>([](Second p) {
+                const float x = p - std::floor(p);
+                return x < 0.5f ? 4.0f * x - 1.0f : 3.0f - 4.0f * x;
+            }),
+            1, 128);
+        dump_audio("wt_fn_synth", wt_fn.synthesize(
+            0.02f,
+            Function<Second, Frequency>(
+                [](Second t) { return 2000.0f + 9000.0f * t; }),
+            Function<Second, float>([](Second) { return 0.0f; }),
+            true, 0.001f));
     }
 
     std::printf("algo fixtures written to %s\n", g_dir.c_str());
