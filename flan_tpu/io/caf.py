@@ -78,6 +78,8 @@ def read_caf(path: str) -> Tuple[np.ndarray, float]:
         if size == -1:                    # streaming write: to EOF
             body = blob[body_start:]
             pos = len(blob)
+        elif size < 0:                    # malformed: would loop forever
+            raise ValueError(f"{path}: malformed CAF chunk size {size}")
         else:
             body = blob[body_start:body_start + size]
             pos = body_start + size

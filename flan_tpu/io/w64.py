@@ -16,8 +16,8 @@ from typing import Tuple
 
 import numpy as np
 
-from flan_tpu.io.wav import (WAVE_FORMAT_IEEE_FLOAT, _decode_samples,
-                             _encode_samples)
+from flan_tpu.io.wav import (WAVE_FORMAT_EXTENSIBLE, WAVE_FORMAT_IEEE_FLOAT,
+                             _decode_samples, _encode_samples)
 
 # GUID byte layout: little-endian data1/2/3 + 8 raw bytes, so the
 # fourcc lands verbatim in the first four bytes.
@@ -25,9 +25,6 @@ _RIFF = b"riff\x2E\x91\xCF\x11\xA5\xD6\x28\xDB\x04\xC1\x00\x00"
 _WAVE = b"wave\xF3\xAC\xD3\x11\x8C\xD1\x00\xC0\x4F\x8E\xDB\x8A"
 _FMT = b"fmt \xF3\xAC\xD3\x11\x8C\xD1\x00\xC0\x4F\x8E\xDB\x8A"
 _DATA = b"data\xF3\xAC\xD3\x11\x8C\xD1\x00\xC0\x4F\x8E\xDB\x8A"
-
-WAVE_FORMAT_EXTENSIBLE = 0xFFFE
-
 
 def read_w64(path: str) -> Tuple[np.ndarray, float]:
     """.w64 file -> (float32 [channels, frames], sample_rate)."""

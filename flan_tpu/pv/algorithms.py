@@ -332,13 +332,17 @@ def shape(self, shaper, use_shift_alignment: bool = False):
     out_mag = jnp.zeros_like(s_mag).at[chan_ix, frame_ix, tb].max(
         jnp.where(valid, s_mag, -1.0))
     winner = out_mag[chan_ix, frame_ix, tb]
-    write = valid & (s_mag >= winner)
-    # freq rides the winning write atomically — init -inf (NOT 0, which
-    # would beat negative winner frequencies; golden-tested at bin 0)
-    out_freq = jnp.full_like(s_freq, -jnp.inf).at[
-        chan_ix, frame_ix, tb].max(jnp.where(write, s_freq, -jnp.inf))
-    out_freq = jnp.where((out_mag > 0) & jnp.isfinite(out_freq),
-                         out_freq, 0.0)
+    # the sequential strict-> write (PV.cpp:446-448) means the FIRST
+    # source bin to reach the final max keeps its frequency: among
+    # equal-magnitude ties the LOWEST source bin wins (a freq
+    # scatter-max would wrongly pick the largest tied frequency)
+    tie = valid & (s_mag == winner) & (s_mag > 0)
+    src_bin = jnp.broadcast_to(bin_ix, s_mag.shape).astype(jnp.int32)
+    win_src = jnp.full(s_mag.shape, b, jnp.int32).at[
+        chan_ix, frame_ix, tb].min(jnp.where(tie, src_bin, b))
+    got = jnp.take_along_axis(s_freq, jnp.clip(win_src, 0, b - 1),
+                              axis=-1)
+    out_freq = jnp.where(win_src < b, got, 0.0)
     return self._with(mag=jnp.maximum(out_mag, 0.0), freq=out_freq)
 
 

@@ -84,8 +84,10 @@ def smear_time(self, smear_size, granularity=5, distribution=None,
 
     smear = jnp.maximum(jnp.broadcast_to(
         self._sample_2d(smear_size), (f, b)), 0.0)       # seconds
-    gran = jnp.maximum(jnp.broadcast_to(
-        self._sample_2d(granularity), (f, b)), 1.0)
+    # granularity is an INT-valued Function upstream
+    # (Function<TF, int>, PVModify.cpp:515): truncate, then max(i, 1)
+    gran = jnp.maximum(jnp.trunc(jnp.broadcast_to(
+        self._sample_2d(granularity), (f, b))), 1.0).astype(jnp.int32)
 
     exp_frames = smear * self.analysis_rate               # [F, B] float
     # loop bounds and extents use the TRUNCATED frame count (the Frame
@@ -112,40 +114,52 @@ def smear_time(self, smear_size, granularity=5, distribution=None,
         warnings.warn(
             f"smear_time: smear sizes imply a {half_taps}-half-tap kernel "
             "(each tap is a full-plane pass); pass max_kernel to bound it")
-    min_gran = max(1, int(jnp.min(gran)))
     offs = jnp.arange(-half_taps, half_taps, dtype=jnp.int32)
-    if min_gran > 1:
-        offs = offs * min_gran
+
+    # The distribution is pre-sampled on a quantized 1/(2*max_exp) grid
+    # and looked up by the truncated index size*0.5*(1+d)
+    # (PVModify.cpp:554-556, 581-584) — direct evaluation diverges on
+    # any non-linear distribution between grid points
+    m2 = 2 * max(max_exp, 1)
+    dist_table = jnp.asarray(distribution(
+        jnp.arange(-m2, m2, dtype=jnp.float32) / jnp.float32(m2)),
+        jnp.float32)
+    tbl_size_f = jnp.float32(2 * m2)
 
     in_frame = jnp.clip(jnp.arange(f_out) - left, 0, f - 1)
-    exp_o = exp_frames[in_frame]                          # [F_out, B]
-    exp_o_int = exp_int[in_frame]
+    smear_o = smear[in_frame]                             # [F_out, B] s
+    exp_o_int = exp_int[in_frame].astype(jnp.int32)
+    gran_o = gran[in_frame]                               # [F_out, B] int
     out_rows = jnp.arange(f_out)
 
     # frames padded so every offset is one dynamic_slice of length f_out:
-    # src row i-left+off maps to padded row i + off + half_span
-    half_span = half_taps * min_gran
-    pad_l = left + half_span
-    pad_r = max(0, f_out - left + half_span - f)
+    # src row i-left+off maps to padded row i + off + half_taps
+    pad_l = left + half_taps
+    pad_r = max(0, f_out - left + half_taps - f)
     mag_p = jnp.pad(self.mag, [(0, 0), (pad_l, pad_r), (0, 0)])
     freq_p = jnp.pad(self.freq, [(0, 0), (pad_l, pad_r), (0, 0)])
 
     def body(carry, off):
         mag_sum, freq_sum, total_w, used_w = carry
-        # reference window is [-exp, exp) on the truncated int bound
-        # (PVModify.cpp:578): -exp IS included, +exp is not
-        in_window = (off >= -exp_o_int) & (off < exp_o_int)
-        dist_in = (off / self.analysis_rate) / jnp.maximum(
-            exp_o / self.analysis_rate, 1e-9)
-        w = jnp.asarray(distribution(jnp.clip(dist_in, -1.0, 1.0)),
-                        jnp.float32) * in_window
+        # reference loop: for off = -exp; off < exp; off += gran
+        # (PVModify.cpp:578) — anchored at -exp, stepping the
+        # per-(frame,bin) integer granularity
+        in_window = ((off >= -exp_o_int) & (off < exp_o_int)
+                     & ((off + exp_o_int) % gran_o == 0))
+        # quantized-table weight: d = frame_to_time(off)/smear (f32),
+        # idx = trunc(size * 0.5 * (1 + d)), clamped
+        d = (off.astype(jnp.float32) / jnp.float32(self.analysis_rate)
+             ) / jnp.maximum(smear_o, 1e-30)
+        idx = jnp.clip((tbl_size_f * jnp.float32(0.5)
+                        * (1.0 + d)).astype(jnp.int32), 0, 2 * m2 - 1)
+        w = dist_table[idx] * in_window
         src = out_rows - left + off
         ok = (src >= 0) & (src < f)
         w_ok = w * ok[:, None]
         mslice = jax.lax.dynamic_slice(
-            mag_p, (0, off + half_span, 0), (c, f_out, b))
+            mag_p, (0, off + half_taps, 0), (c, f_out, b))
         fslice = jax.lax.dynamic_slice(
-            freq_p, (0, off + half_span, 0), (c, f_out, b))
+            freq_p, (0, off + half_taps, 0), (c, f_out, b))
         return (mag_sum + mslice * w_ok[None],
                 freq_sum + fslice * w_ok[None],
                 total_w + w, used_w + w_ok), None
@@ -220,10 +234,18 @@ def time_extrapolate(self, start_time: float, end_time: float,
     sc_mag = jnp.zeros((c, n_ext, b), jnp.float32).at[
         chan_ix, frame_ix, tb].max(jnp.where(valid, ext_mag, -1.0))
     winner = sc_mag[chan_ix, frame_ix, tb]
-    write = valid & (ext_mag >= winner)
-    sc_freq = jnp.full((c, n_ext, b), -jnp.inf).at[
-        chan_ix, frame_ix, tb].max(jnp.where(write, ext_freq, -jnp.inf))
-    sc_freq = jnp.where((sc_mag > 0) & jnp.isfinite(sc_freq), sc_freq, 0.0)
+    # first-wins on equal-magnitude ties, as in PV::shape: the
+    # sequential strict-> write keeps the LOWEST source bin's frequency
+    # (PVModify.cpp:661-662)
+    ext_mag_b = jnp.broadcast_to(ext_mag, (c, n_ext, b))
+    tie = valid & (ext_mag_b == winner) & (ext_mag_b > 0)
+    src_bin = jnp.broadcast_to(bin_ix, (c, n_ext, b)).astype(jnp.int32)
+    win_src = jnp.full((c, n_ext, b), b, jnp.int32).at[
+        chan_ix, frame_ix, tb].min(jnp.where(tie, src_bin, b))
+    ext_freq_b = jnp.broadcast_to(ext_freq, (c, n_ext, b))
+    got = jnp.take_along_axis(ext_freq_b, jnp.clip(win_src, 0, b - 1),
+                              axis=-1)
+    sc_freq = jnp.where(win_src < b, got, 0.0)
 
     out_mag = jnp.concatenate(
         [self.mag[:, :start], jnp.maximum(sc_mag, 0.0)], axis=1)

@@ -33,9 +33,11 @@ num_waves=1, which is what the golden pins).
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -222,29 +224,25 @@ class Wavetable:
                 self.get_num_waveforms(channel))
             pos, rate, sreqs, lefts, rights, rems = plan
 
-            # the fed stream: position p holds the (crossfaded) table
-            # sample (phase p mod L) under the feeding block's indices
             P = int(sreqs.sum())
             if P == 0:
                 rows.append(jnp.zeros(num_out, jnp.float32))
                 continue
-            blk = np.repeat(np.arange(len(sreqs)), sreqs)
-            tbl_col = np.mod(np.arange(P), L)
-            tab = self.table[channel]                 # [W, L] device
-            left_v = tab[jnp.asarray(lefts[blk]), jnp.asarray(tbl_col)]
-            if smooth:
-                right_v = tab[jnp.asarray(rights[blk]),
-                              jnp.asarray(tbl_col)]
-                rem_v = jnp.asarray(rems[blk], jnp.float32)
-                stream = left_v * (1.0 - rem_v) + right_v * rem_v
-            else:
-                stream = left_v
             cutoff = np.where(rate > 1.0, 1.0 / (1.03 * rate), 1.0)
-            out = fractional_gather(stream[None, :],
-                                    jnp.asarray(pos, jnp.float32),
-                                    jnp.asarray(cutoff, jnp.float32),
-                                    num_taps=64)
-            rows.append(out[0])
+            # ONE jitted device program per channel; only the small
+            # per-block plan rows and the per-output pos/cutoff (the
+            # repitch precedent) cross the tunnel — the P-length stream
+            # expansion happens on device (CLAUDE.md transfer rules)
+            out = _synthesize_stream_core(
+                self.table[channel],
+                jnp.asarray(sreqs, jnp.int32),
+                jnp.asarray(lefts, jnp.int32),
+                jnp.asarray(rights, jnp.int32),
+                jnp.asarray(rems, jnp.float32),
+                jnp.asarray(pos, jnp.float32),
+                jnp.asarray(cutoff, jnp.float32),
+                total_fed=P, smooth=smooth)
+            rows.append(out)
         return Audio(data=jnp.stack(rows).astype(jnp.float32),
                      sample_rate=sr)
 
@@ -286,6 +284,30 @@ class Wavetable:
         peak = jnp.max(jnp.abs(self.table), axis=-1, keepdims=True)
         self.table = jnp.where(peak < 1e-3, self.table,
                                self.table / jnp.maximum(peak, 1e-9))
+
+
+@functools.partial(jax.jit, static_argnames=("total_fed", "smooth"))
+def _synthesize_stream_core(table, sreqs, lefts, rights, rems, pos,
+                            cutoff, *, total_fed: int, smooth: bool):
+    """Device half of synthesize: expand the per-block feed plan into
+    the periodic (crossfaded) table stream ON DEVICE, then one dense
+    64-tap sinc gather. Inputs crossing the tunnel are the [nblocks]
+    plan rows and the [num_out] positions/cutoffs only."""
+    L = table.shape[1]
+    nblocks = sreqs.shape[0]
+    # block id of each fed stream position (repeat with a static total)
+    blk = jnp.repeat(jnp.arange(nblocks, dtype=jnp.int32), sreqs,
+                     total_repeat_length=total_fed)
+    tbl_col = jnp.mod(jnp.arange(total_fed, dtype=jnp.int32), L)
+    left_v = table[lefts[blk], tbl_col]
+    if smooth:
+        right_v = table[rights[blk], tbl_col]
+        rem_v = rems[blk]
+        stream = left_v * (1.0 - rem_v) + right_v * rem_v
+    else:
+        stream = left_v
+    return fractional_gather(stream[None, :], pos, cutoff,
+                             num_taps=64)[0]
 
 
 def _wavetable_wdl_plan(num_out: int, gran: int, f_grid: np.ndarray,

@@ -350,3 +350,16 @@ def test_new_codecs_reject_garbage(tmp_path):
         open(p, "wb").write(b"garbage bytes, not audio at all....." * 3)
         with pytest.raises(ValueError):
             reader(p)
+
+
+def test_caf_rejects_negative_chunk_size(tmp_path):
+    """A malformed big-endian int64 chunk size <= -12 (not the -1 to-EOF
+    sentinel) must error, not loop forever re-parsing the same chunk."""
+    import struct
+    from flan_tpu.io.caf import read_caf
+    p = str(tmp_path / "n.caf")
+    with open(p, "wb") as f:
+        f.write(b"caff" + struct.pack(">HH", 1, 0))
+        f.write(b"free" + struct.pack(">q", -12) + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        read_caf(p)

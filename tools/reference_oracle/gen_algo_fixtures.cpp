@@ -274,6 +274,16 @@ int main(int argc, char** argv) {
                      }),
                      false));
 
+    // shape arm 3: CONSTANT shaped magnitude forces equal-magnitude
+    // collisions on shared target bins — pins the sequential
+    // strict-> write's first-wins (lowest source bin) frequency
+    // tie-break (PV.cpp:446-448)
+    dump_pv("algo_shape_tie",
+            in.shape(Function<MF, MF>([](MF mf) {
+                         return MF{0.5f, mf.f * 0.9f + 40.0f};
+                     }),
+                     true));
+
     // --- PV.cpp:590-600 retain/remove_n_loudest_partials ------------------
     dump_pv("algo_retain",
             in.retain_n_loudest_partials(Function<Second, Bin>(
@@ -305,6 +315,21 @@ int main(int argc, char** argv) {
             in.smear_time(
                 Function<TF, Second>([](TF) { return 0.004f; }),
                 Function<TF, int>([](TF) { return 2; }),
+                Function<Second, float>([](Second t) {
+                    return 0.5f * (1.0f + std::cos(
+                        3.14159265358979323846f * t));
+                })));
+
+    // smear arm 2: ODD truncated extent (5) against granularity 2 pins
+    // the -exp-anchored stepping (offsets {-5,-3,-1,1,3}, not
+    // zero-anchored even multiples), and a bin-varying INT granularity
+    // pins the per-(frame,bin) step (PVModify.cpp:576-578)
+    dump_pv("algo_smear2",
+            in.smear_time(
+                Function<TF, Second>([](TF) { return 0.005f; }),
+                Function<TF, int>([](TF tf) {
+                    return 1 + (int)(tf.f / 1800.0f);
+                }),
                 Function<Second, float>([](Second t) {
                     return 0.5f * (1.0f + std::cos(
                         3.14159265358979323846f * t));
