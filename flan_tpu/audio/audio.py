@@ -106,6 +106,13 @@ class Audio(AudioBuffer):
             from flan_tpu.io.w64 import read_w64
             data, sr = read_w64(filename)
             strings = SndfileStrings()
+        elif magic[:3] == b"ID3" or (
+                len(head) >= 2 and head[0] == 0xFF
+                and (head[1] & 0xE0) == 0xE0
+                and (head[1] >> 1) & 0x3 != 0):  # MPEG frame sync
+            from flan_tpu.io.mp3 import read_mp3
+            data, sr = read_mp3(filename)
+            strings = SndfileStrings()
         else:
             from flan_tpu.io.wav import read_wav
             data, sr, strings = read_wav(filename)
@@ -130,6 +137,10 @@ class Audio(AudioBuffer):
         if low.endswith(".w64"):
             from flan_tpu.io.w64 import write_w64
             write_w64(filename, np.asarray(self.data), self.sample_rate)
+            return
+        if low.endswith(".mp3"):
+            from flan_tpu.io.mp3 import write_mp3
+            write_mp3(filename, np.asarray(self.data), self.sample_rate)
             return
         if low.endswith(".flac"):
             from flan_tpu.io.flac import write_flac

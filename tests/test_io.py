@@ -363,3 +363,63 @@ def test_caf_rejects_negative_chunk_size(tmp_path):
         f.write(b"free" + struct.pack(">q", -12) + b"\x00" * 8)
     with pytest.raises(ValueError):
         read_caf(p)
+
+
+# --- MP3 codec (io/mp3.py; system libmpg123/libmp3lame like the
+# reference's external-codec boundary, AudioBuffer.cpp:86-117) ----------
+
+def _mp3_available():
+    from flan_tpu.io.mp3 import available
+    return available()
+
+
+@pytest.mark.skipif(not _mp3_available(),
+                    reason="system mpg123/lame not present")
+def test_mp3_roundtrip_gapless(tmp_path):
+    """CBR encode -> decode: the LAME info tag makes the round trip
+    SAMPLE-EXACT in length (codec delay/padding trimmed), and the lossy
+    content stays faithful on tones."""
+    from flan_tpu.io.mp3 import read_mp3, write_mp3
+    sr = 32000.0
+    t = np.arange(int(sr), dtype=np.float32) / sr
+    x = np.stack([0.4 * np.sin(2 * np.pi * 440 * t),
+                  0.4 * np.sin(2 * np.pi * 660 * t)]).astype(np.float32)
+    p = str(tmp_path / "a.mp3")
+    write_mp3(p, x, sr)
+    y, sr2 = read_mp3(p)
+    assert sr2 == sr and y.shape == x.shape
+    for c in range(2):
+        err = ((y[c, 4000:28000] - x[c, 4000:28000]) ** 2).mean()
+        sig = (x[c, 4000:28000] ** 2).mean()
+        assert 10 * np.log10(sig / err) > 20.0, c
+
+
+@pytest.mark.skipif(not _mp3_available(),
+                    reason="system mpg123/lame not present")
+def test_audio_mp3_dispatch(tmp_path):
+    """save_to_file routes .mp3; load_from_file sniffs the frame sync
+    (and ID3) magic."""
+    from flan_tpu import Audio
+    import jax.numpy as jnp
+    sr = 32000.0
+    t = np.arange(int(0.5 * sr), dtype=np.float32) / sr
+    a = Audio(data=jnp.asarray((0.4 * np.sin(2 * np.pi * 330 * t))[None]),
+              sample_rate=sr)
+    p = str(tmp_path / "d.mp3")
+    a.save_to_file(p)
+    b = Audio.load_from_file(p)
+    assert b.sample_rate == sr and b.num_channels == 1
+    assert b.num_frames == a.num_frames    # gapless
+
+
+@pytest.mark.skipif(not _mp3_available(),
+                    reason="system mpg123/lame not present")
+def test_mp3_rejects_garbage_and_too_many_channels(tmp_path):
+    from flan_tpu.io.mp3 import read_mp3, write_mp3
+    p = str(tmp_path / "g.mp3")
+    open(p, "wb").write(b"\x00garbage, not mpeg frames at all....." * 4)
+    with pytest.raises(ValueError):
+        read_mp3(p)
+    with pytest.raises(ValueError):
+        write_mp3(str(tmp_path / "x.mp3"),
+                  np.zeros((3, 100), np.float32), 32000.0)
