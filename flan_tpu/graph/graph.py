@@ -82,47 +82,91 @@ class Graph:
         if 0 <= x < self.width and 0 <= y < self.height:
             self.image[y, x] = color.as_array()
 
-    # --- Primitives (reference Graph.h:206-222, Graph.cpp:287-345). The
-    # reference draws via bitmap_image's image_drawer with a bottom-up y
-    # axis; here y_u_to_v already lands in top-down image rows, so these
-    # paint numpy slices directly.
+    # --- bitmap_image-exact rasterizer core (bmp/bitmap_image.hpp,
+    # pixel-golden vs the compiled reference: graph_*.bmp fixtures).
+    # Conventions that matter: float coordinates TRUNCATE to int at the
+    # image_drawer call boundary; horizontal/vertical segments are
+    # END-EXCLUSIVE; line_segment is the exact Bresenham variant below
+    # (which DOES plot its final endpoint); every pixel write clips.
+    def _plot_px(self, x: int, y: int, arr) -> None:
+        if 0 <= x < self.width and 0 <= y < self.height:
+            self.image[y, x] = arr
+
+    def _hseg_px(self, x1: float, x2: float, y: float, arr) -> None:
+        """image_drawer::horiztonal_line_segment: [min, max), clipped."""
+        a, b, py = int(x1), int(x2), int(y)
+        if a > b:
+            a, b = b, a
+        if 0 <= py < self.height and b > a:
+            self.image[py, max(a, 0):max(min(b, self.width), 0)] = arr
+
+    def _vseg_px(self, y1: float, y2: float, x: float, arr) -> None:
+        """image_drawer::vertical_line_segment: [min, max), clipped."""
+        a, b, px = int(y1), int(y2), int(x)
+        if a > b:
+            a, b = b, a
+        if 0 <= px < self.width and b > a:
+            self.image[max(a, 0):max(min(b, self.height), 0), px] = arr
+
+    def _bres_px(self, x1: float, y1: float, x2: float, y2: float,
+                 arr) -> None:
+        """image_drawer::line_segment's exact Bresenham
+        (bitmap_image.hpp:2166-2203), incl. its multi-step error loop
+        and the unconditional final endpoint plot."""
+        x1, y1, x2, y2 = int(x1), int(y1), int(x2), int(y2)
+        fx, fy = x2, y2
+        sx = 1 if (x2 - x1) > 0 else -1
+        sy = 1 if (y2 - y1) > 0 else -1
+        dx, dy = abs(x2 - x1), abs(y2 - y1)
+        steep = dy > dx
+        if steep:
+            x1, y1 = y1, x1
+            dx, dy = dy, dx
+            sx, sy = sy, sx
+        e = 2 * dy - dx
+        for _ in range(dx):
+            if steep:
+                self._plot_px(y1, x1, arr)
+            else:
+                self._plot_px(x1, y1, arr)
+            while e >= 0:
+                y1 += sy
+                e -= 2 * dx
+            x1 += sx
+            e += 2 * dy
+        self._plot_px(fx, fy, arr)
+
+    def _row_trunc(self, view: View, y: float) -> int:
+        """Reference row of a plane y whose Pixel cast happens in
+        BOTTOM-UP pixel space: height-1 - (Pixel)yUToV(y)
+        (Graph.cpp:287-290, 545-546)."""
+        yuv_bu = ((y - view.U.y1) / view.U.h * view.V.h
+                  + (self.height - view.V.y2))
+        return self.height - 1 - int(yuv_bu)
+
+    # --- Primitives (reference Graph.h:206-222, Graph.cpp:287-345) ----------
     def set_point(self, view: View, x: float, y: float, color: Color) -> None:
-        self.set_pixel(int(round(view.x_u_to_v(x))),
-                       int(round(view.y_u_to_v(y))), color)
+        self.set_pixel(int(view.x_u_to_v(x)), self._row_trunc(view, y),
+                       color)
 
     def draw_horizontal_line(self, view: View, x1: float, x2: float,
                              y: float, color: Color) -> None:
-        py = int(round(view.y_u_to_v(y)))
-        if not 0 <= py < self.height:
-            return
-        a = int(round(view.x_u_to_v(x1)))
-        b = int(round(view.x_u_to_v(x2)))
-        lo, hi = min(a, b), max(a, b)
-        self.image[py, max(lo, 0):min(hi + 1, self.width)] = color.as_array()
+        """Graph.cpp:297-300: trunc floats, end-exclusive span."""
+        self._hseg_px(view.x_u_to_v(x1), view.x_u_to_v(x2),
+                      view.y_u_to_v(y), color.as_array())
 
     def draw_vertical_line(self, view: View, y1: float, y2: float,
                            x: float, color: Color) -> None:
-        px = int(round(view.x_u_to_v(x)))
-        if not 0 <= px < self.width:
-            return
-        a = int(round(view.y_u_to_v(y1)))
-        b = int(round(view.y_u_to_v(y2)))
-        lo, hi = min(a, b), max(a, b)
-        self.image[max(lo, 0):min(hi + 1, self.height), px] = color.as_array()
+        """Graph.cpp:302-305: trunc floats, end-exclusive span."""
+        self._vseg_px(view.y_u_to_v(y2), view.y_u_to_v(y1),
+                      view.x_u_to_v(x), color.as_array())
 
     def draw_line_segment(self, view: View, x1: float, y1: float,
                           x2: float, y2: float, color: Color) -> None:
-        """Arbitrary segment in U space, rasterized as one fancy-index
-        write over max(|dx|,|dy|)+1 interpolated pixels (the vectorized
-        replacement for image_drawer::line_segment)."""
-        ax, ay = view.x_u_to_v(x1), view.y_u_to_v(y1)
-        bx, by = view.x_u_to_v(x2), view.y_u_to_v(y2)
-        steps = int(max(abs(bx - ax), abs(by - ay))) + 1
-        t = np.linspace(0.0, 1.0, steps + 1)
-        px = np.round(ax + (bx - ax) * t).astype(np.int64)
-        py = np.round(ay + (by - ay) * t).astype(np.int64)
-        ok = (px >= 0) & (px < self.width) & (py >= 0) & (py < self.height)
-        self.image[py[ok], px[ok]] = color.as_array()
+        """Graph.cpp:307-310 via the exact Bresenham core."""
+        self._bres_px(view.x_u_to_v(x1), view.y_u_to_v(y1),
+                      view.x_u_to_v(x2), view.y_u_to_v(y2),
+                      color.as_array())
 
     def set_rect(self, view: View, rect: Rect, color: Color) -> None:
         xa = int(round(view.x_u_to_v(rect.x1)))
@@ -254,34 +298,59 @@ class Graph:
         if not callable(f):
             pts = np.asarray(f, np.float64)
             order = np.argsort(pts[:, 0])
-            px, py_ = pts[order, 0], pts[order, 1]
+            px = pts[order, 0].astype(np.float32)
+            py_ = pts[order, 1].astype(np.float32)
             if domain is None:
                 domain = Interval(float(px[0]), float(px[-1]))
-            f = lambda x: np.interp(x, px, py_)  # noqa: E731
+
+            def f(x, _px=px, _py=py_):
+                # float32 lerp, exactly as interpolate_points
+                # (Interpolator.cpp:102-120; pixel-golden): mix =
+                # (t-x1)/(x2-x1), out = (1-mix)*y1 + mix*y2, all f32
+                t = np.asarray(x, np.float32)
+                i = np.clip(np.searchsorted(_px, t, side="left"), 1,
+                            len(_px) - 1)
+                x1, x2 = _px[i - 1], _px[i]
+                mix = ((t - x1) / (x2 - x1)).astype(np.float32)
+                out = ((np.float32(1.0) - mix) * _py[i - 1]
+                       + mix * _py[i]).astype(np.float32)
+                out = np.where(t <= _px[0], _py[0], out)
+                return np.where(t >= _px[-1], _py[-1], out)
         for _, view in self._active_views(
                 Rect(-np.inf, -np.inf, np.inf, np.inf)
                 if domain is None else
                 Rect(domain.x1, -np.inf, domain.x2, np.inf), plane):
-            xs = np.arange(self.width)
-            u = view.x_v_to_u(xs)
-            if domain is not None:
-                sel = (u >= domain.x1) & (u <= domain.x2)
-            else:
-                sel = np.ones_like(u, bool)
+            # reference loop (Graph.cpp:232-258, pixel-golden): one
+            # f32-accumulated pixelAdvance step per pixel column; a
+            # segment draws only when BOTH endpoints satisfy the
+            # HALF-OPEN U.contains — off-view samples break the curve
+            d1 = view.U.x1 if domain is None else max(domain.x1,
+                                                      view.U.x1)
+            d2 = view.U.x2 if domain is None else min(domain.x2,
+                                                      view.U.x2)
+            adv = np.float32(view.U.w / view.V.w)      # wVToU(1)
+            if d2 <= d1:
+                continue
+            xs = [np.float32(d1)]
+            while True:
+                nxt = np.float32(xs[-1] + adv)
+                if not nxt < d2:
+                    break
+                xs.append(nxt)
+            xs = np.asarray(xs, np.float32)
             try:  # vectorized evaluation when f accepts arrays
-                ys = np.asarray(f(u), np.float64).reshape(-1)
-                if ys.shape != u.shape:
+                ys = np.asarray(f(xs), np.float64).reshape(-1)
+                if ys.shape != xs.shape:
                     raise ValueError
             except Exception:
-                ys = np.asarray([float(f(x)) for x in u])
-            py = np.round(view.y_u_to_v(ys)).astype(np.int64)
-            # vertical segment per column pair, rasterized as one 2-D mask
-            y0 = np.maximum(np.minimum(py[:-1], py[1:]), 0)
-            y1 = np.minimum(np.maximum(py[:-1], py[1:]), self.height - 1)
-            ok = sel[:-1] & sel[1:] & (y1 >= y0)
-            rows = np.arange(self.height)[:, None]
-            mask = (rows >= y0[None, :]) & (rows <= y1[None, :]) & ok[None, :]
-            self.image[:, : self.width - 1][mask] = color.as_array()
+                ys = np.asarray([float(f(float(x))) for x in xs])
+            inside = ((view.U.x1 <= xs) & (xs < view.U.x2)
+                      & (view.U.y1 <= ys) & (ys < view.U.y2))
+            for i in range(1, len(xs)):
+                if inside[i - 1] and inside[i]:
+                    self.draw_line_segment(
+                        view, float(xs[i - 1]), float(ys[i - 1]),
+                        float(xs[i]), float(ys[i]), color)
 
     def draw_functions(self, fs: Sequence[Callable],
                        domains: Optional[Sequence[Interval]] = None,
@@ -305,8 +374,10 @@ class Graph:
         x, y = p
         for _, view in self._active_views(
                 Rect(-np.inf, -np.inf, np.inf, np.inf), plane):
-            xm = int(round(view.x_u_to_v(x)))
-            ym = int(round(view.y_u_to_v(y)))
+            # Pixel casts TRUNCATE (Graph.cpp:545-546) in bottom-up
+            # pixel space before the row flip
+            xm = int(view.x_u_to_v(x))
+            row_mid = self._row_trunc(view, y)
             vx0, vx1 = int(view.V.x1), int(view.V.x2) - 1
             vy0, vy1 = int(view.V.y1), int(view.V.y2) - 1
             xs = np.arange(np.clip(xm - radius, vx0, vx1),
@@ -315,8 +386,13 @@ class Graph:
                 continue
             off = np.floor(np.sqrt(np.maximum(
                 radius * radius - (xs - xm) ** 2, 0))).astype(np.int64)
-            y_lo = np.clip(ym - off, max(vy0, 0), vy1)
-            y_hi = np.clip(ym + off, vy0, min(vy1, self.height - 1))
+            # bitmap_image's vertical_line_segment END is EXCLUSIVE
+            # (pixel-golden vs the compiled reference): each column
+            # drops its bottom row, and offset-0 edge columns draw
+            # nothing at all
+            y_lo = np.clip(row_mid - off, max(vy0, 0), vy1)
+            y_hi = np.clip(row_mid + off, vy0, min(vy1, self.height - 1)) \
+                - 1
             rows = np.arange(self.height)[:, None]
             in_x = (xs >= 0) & (xs < self.width)
             mask = (rows >= y_lo[None, :]) & (rows <= y_hi[None, :]) \
@@ -333,52 +409,51 @@ class Graph:
     # --- Axes / grids / ticks (reference Graph.cpp:333-430) -----------------
     def draw_axes(self, plane: int = ALL_PLANES,
                   color: Optional[Color] = None) -> None:
+        """Axis lines through 0 with half-open containment gates
+        (Graph.cpp:333-346)."""
         if color is None:
             color = Color.black()
         for _, view in self._active_views(
                 Rect(-np.inf, -np.inf, np.inf, np.inf), plane):
-            px = int(round(view.x_u_to_v(0.0)))
-            py = int(round(view.y_u_to_v(0.0)))
-            y0, y1 = int(view.V.y1), int(view.V.y2)
-            x0, x1 = int(view.V.x1), int(view.V.x2)
-            if 0 <= px < self.width:
-                self.image[max(y0, 0):min(y1, self.height), px] = \
-                    color.as_array()
-            if 0 <= py < self.height:
-                self.image[py, max(x0, 0):min(x1, self.width)] = \
-                    color.as_array()
-
-    def _grid_lines(self, starts, view, vertical, color):
-        for s in starts:
-            if vertical:
-                px = int(round(view.x_u_to_v(s)))
-                if 0 <= px < self.width:
-                    self.image[int(view.V.y1):int(view.V.y2), px] = \
-                        color.as_array()
-            else:
-                py = int(round(view.y_u_to_v(s)))
-                if 0 <= py < self.height:
-                    self.image[py, int(view.V.x1):int(view.V.x2)] = \
-                        color.as_array()
+            if view.U.x1 <= 0 < view.U.x2:
+                self.draw_vertical_line(view, view.U.y1, view.U.y2, 0.0,
+                                        color)
+            if view.U.y1 <= 0 < view.U.y2:
+                self.draw_horizontal_line(view, view.U.x1, view.U.x2,
+                                          0.0, color)
 
     def draw_linear_grid_x(self, spacing: float, plane: int = ALL_PLANES,
                            color: Optional[Color] = None) -> None:
+        """Vertical lines at multiples of spacing, ceil(x1)..floor(x2)
+        inclusive (Graph.cpp:350-369)."""
         color = color or Color.black()
-        for _, view in self.views:
-            if plane != ALL_PLANES and view not in [v for p, v in self.views
-                                                    if p in (plane, -1)]:
-                continue
+        if spacing <= 0:
+            return
+        for _, view in self._active_views(
+                Rect(-np.inf, -np.inf, np.inf, np.inf), plane):
             start = math.ceil(view.U.x1 / spacing) * spacing
-            xs = np.arange(start, view.U.x2, spacing)
-            self._grid_lines(xs, view, True, color)
+            end = math.floor(view.U.x2 / spacing) * spacing
+            x = start
+            while x <= end:
+                self.draw_vertical_line(view, view.U.y1, view.U.y2, x,
+                                        color)
+                x += spacing
 
     def draw_linear_grid_y(self, spacing: float, plane: int = ALL_PLANES,
                            color: Optional[Color] = None) -> None:
+        """Horizontal lines at multiples of spacing (Graph.cpp:371-391)."""
         color = color or Color.black()
-        for _, view in self.views:
+        if spacing <= 0:
+            return
+        for _, view in self._active_views(
+                Rect(-np.inf, -np.inf, np.inf, np.inf), plane):
             start = math.ceil(view.U.y1 / spacing) * spacing
-            ys = np.arange(start, view.U.y2, spacing)
-            self._grid_lines(ys, view, False, color)
+            end = math.floor(view.U.y2 / spacing) * spacing
+            y = start
+            while y <= end:
+                self.draw_horizontal_line(view, view.U.x1, view.U.x2, y,
+                                          color)
+                y += spacing
 
     def draw_linear_grid(self, x_spacing: float = 1.0, y_spacing: float = 1.0,
                          plane: int = ALL_PLANES,
@@ -403,33 +478,38 @@ class Graph:
                 Rect(-np.inf, -np.inf, np.inf, np.inf), plane):
             y_start = math.floor(view.U.y1 / spacing) * spacing
             y_end = math.ceil(view.U.y2 / spacing) * spacing
-            ys = []
             y_cell = y_start
             while y_cell <= y_end:
                 for step in range(int(lines_per_step)):
                     y = y_cell + math.log(1.0 + step) / math.log(
                         lines_per_step)
                     if view.U.y1 <= y < view.U.y2:
-                        ys.append(y)
+                        self.draw_horizontal_line(view, view.U.x1,
+                                                  view.U.x2, y, color)
                 y_cell += spacing
-            self._grid_lines(ys, view, False, color)
 
-    def draw_log_grid_x(self, spacing: float, base: float,
+    def draw_log_grid_x(self, spacing: float = 1.0,
+                        lines_per_step: int = 10,
                         plane: int = ALL_PLANES,
                         color: Optional[Color] = None) -> None:
-        """Logarithmically spaced vertical lines: at each unit cell of size
-        `spacing`, base^k subdivisions (reference Graph.cpp log grid)."""
+        """Vertical log-subdivided grid (reference Graph.cpp:399-427);
+        the same unscaled-subdivision quirk as draw_log_grid_y."""
         color = color or Color.black()
-        for _, view in self.views:
-            cell = math.floor(view.U.x1 / spacing) * spacing
-            xs = []
-            while cell < view.U.x2:
-                for k in range(1, int(base)):
-                    x = cell + math.log(k + 1, base) * spacing
-                    if view.U.x1 <= x <= view.U.x2:
-                        xs.append(x)
-                cell += spacing
-            self._grid_lines(xs, view, True, color)
+        if spacing <= 0:
+            return
+        for _, view in self._active_views(
+                Rect(-np.inf, -np.inf, np.inf, np.inf), plane):
+            x_start = math.floor(view.U.x1 / spacing) * spacing
+            x_end = math.ceil(view.U.x2 / spacing) * spacing
+            x_cell = x_start
+            while x_cell <= x_end:
+                for step in range(int(lines_per_step)):
+                    x = x_cell + math.log(1.0 + step) / math.log(
+                        lines_per_step)
+                    if view.U.x1 <= x < view.U.x2:
+                        self.draw_vertical_line(view, view.U.y1,
+                                                view.U.y2, x, color)
+                x_cell += spacing
 
     # digit stroke paths in a unit box, x1=.15 x2=.85 (reference
     # Graph.cpp:646-690); -1 = minus sign, 10 = decimal dot
@@ -478,7 +558,10 @@ class Graph:
                 clipped = box.intersect(view.U)
                 if (clipped.x1, clipped.y1, clipped.x2, clipped.y2) != (
                         box.x1, box.y1, box.x2, box.y2):
-                    break  # reference bails once a digit leaves the view
+                    # the reference RETURNS from the whole call (not just
+                    # this view) once a digit leaves the view
+                    # (Graph.cpp:647)
+                    return
                 ps = self._DIGIT_PATHS.get(
                     d, [(.15, 0), (.85, 0), (.15, 1), (.85, 1), (.15, 0)])
                 for (ax, ay), (bx, by) in zip(ps[:-1], ps[1:]):

@@ -65,18 +65,29 @@ class View:
     V: Rect = Rect()  # pixel rect: x1,y1 top-left; x2,y2 bottom-right
 
     def x_u_to_v(self, x):
-        return (self.V.x1
-                + (np.asarray(x) - self.U.x1) / self.U.w * self.V.w)
+        # FLOAT32 with the reference's operation order (View.h:15-21:
+        # (x - U.x1) * V.w / U.w + V.x1) — pixel-golden vs the compiled
+        # reference; f64 here lands on the other side of f32
+        # round-to-even ties at pixel boundaries
+        w = np.float32(x) - np.float32(self.U.x1)
+        return ((w * np.float32(self.V.w)) / np.float32(self.U.w)
+                + np.float32(self.V.x1))
 
     def y_u_to_v(self, y):
-        return (self.V.y2
-                - (np.asarray(y) - self.U.y1) / self.U.h * self.V.h)
+        # the reference flips with height()-1 (Graph.cpp:297-305), so
+        # the bottom plane edge lands on the LAST row, not one past it;
+        # f32 like x_u_to_v
+        h = np.float32(y) - np.float32(self.U.y1)
+        return (np.float32(self.V.y2 - 1)
+                - (h * np.float32(self.V.h)) / np.float32(self.U.h))
 
     def x_v_to_u(self, px):
         return self.U.x1 + (np.asarray(px) - self.V.x1) / self.V.w * self.U.w
 
     def y_v_to_u(self, py):
-        return self.U.y1 + (self.V.y2 - np.asarray(py)) / self.V.h * self.U.h
+        # inverse of y_u_to_v's height-1 flip
+        return self.U.y1 + (self.V.y2 - 1
+                            - np.asarray(py)) / self.V.h * self.U.h
 
     def w_v_to_u(self, px):
         """Pixel width -> plane width (reference View.h wVToU)."""

@@ -235,8 +235,14 @@ def test_primitive_segments():
     g.set_rect(view, Rect(-0.9, -0.9, -0.6, -0.6), Color.white())
     g.set_point(view, 0.0, 0.0, Color.white())
     img = g.to_uint8().max(axis=-1) > 200
-    assert img[32, :].all()       # horizontal at y=0.5 -> row 32
-    assert img[:, 192].all()      # vertical at x=0.5 -> col 192
+    # reference flip is height-1 - yUToV (Graph.cpp:297-305):
+    # y=0.5 -> row 127 - 96 = 31
+    assert img[31, :].all()
+    # vertical at x=0.5 -> col 192; bitmap_image's segment end is
+    # EXCLUSIVE (pixel-golden graph_* fixtures), so the last row of the
+    # span is not drawn
+    assert img[:127, 192].all()
+    assert not img[127, 192]
     assert img.sum() > 256 + 128 + 200
 
 

@@ -47,6 +47,14 @@ cp "$REF/src/flan/Utility/iota_iter.h" "$BUILD/flan/Utility/iota_iter.h"
 # converting constructor alone yields identical values.
 sed '/Convert to other T/,+3d' \
     "$REF/src/flan/Utility/vec2.h" > "$BUILD/flan/Utility/vec2.h"
+# Color::from_hsv calls unqualified abs() on a double expression
+# (Color.cpp:10): MSVC (the author's platform) resolves ::abs(double),
+# gcc resolves the C int abs — which truncates the fractional sector
+# position to 0 and collapses every hue to a 2-level color. Shadow-patch
+# to std::fabs: the author-intended float semantics, same policy as the
+# PSTL seq patch above.
+sed 's/abs(fmod/std::fabs(fmod/' \
+    "$REF/src/flan/Utility/Color.cpp" > "$BUILD/Color_patched.cpp"
 
 
 
@@ -86,7 +94,7 @@ g++ -std=c++20 -O2 -I "$BUILD" -I "$REF/src" -I "$HERE/stubs" \
     "$REF/src/flan/phase_vocoder.cpp" \
     "$REF/src/flan/defines.cpp" \
     "$REF/src/flan/Utility/Bytes.cpp" \
-    "$REF/src/flan/Utility/Color.cpp" \
+    "$BUILD/Color_patched.cpp" \
     "$REF/src/flan/Utility/Interval.cpp" \
     "$REF/src/flan/Utility/Rect.cpp" \
     "$REF/src/flan/Utility/View.cpp" \

@@ -723,6 +723,36 @@ int main(int argc, char** argv) {
             true, 0.001f));
     }
 
+    // --- Graph.cpp (round 5: pixel-golden the rendering layer) -----------
+    // Two BMPs through the reference's actual rasterizer (bitmap_image's
+    // exclusive-end segments, Pixel-trunc view mapping, height-1 flip).
+    // The oracle's Color.cpp is shadow-patched to float abs (gcc resolves
+    // the C int abs the author's MSVC would not; see build_algo.sh).
+    {
+        Graph g(120, 80);
+        g.add_full_split_view_y(Rect(0, 0, 4, 2), 1);
+        g.fill_image(Color::from_hsv(0, 0, 0.04f));
+        g.draw_linear_grid(1, 0.5f, 0, Color::from_hsv(0, 0, 0.7f));
+        g.draw_point(vec2(2.0f, 1.0f), 6, 0, Color::from_hsv(120, 1, 1));
+        g.draw_axes(0, Color::from_hsv(200, 1, 1));
+        g.save_image(g_dir + "graph_composite.bmp");
+    }
+    {
+        Graph g(160, 120);
+        g.add_full_split_view_y(Rect(-2, 0.1f, 2, 100), 1);
+        g.fill_image(Color::from_hsv(30, 0.2f, 0.9f));
+        g.draw_log_grid_y(1, 10, 0, Color::from_hsv(0, 0, 0.55f));
+        g.draw_function(Function<float, float>(
+                            [](float x) { return 10.0f + 40.0f * x * x; }),
+                        Interval(-2, 2), 0, Color::from_hsv(0, 1, 0.8f));
+        g.draw_function(std::vector<vec2>{{-1.5f, 80.0f}, {0.0f, 20.0f},
+                                          {1.5f, 60.0f}},
+                        0, Color::from_hsv(260, 1, 0.9f));
+        g.draw_float(vec2(-1.8f, 90.0f), 6, 10, -3.25f, 0,
+                     Color::from_hsv(0, 0, 0.1f));
+        g.save_image(g_dir + "graph_rich.bmp");
+    }
+
     std::printf("algo fixtures written to %s\n", g_dir.c_str());
     return 0;
 }
