@@ -19,6 +19,39 @@ from flan_tpu.utils.geometry import Color, Interval, Rect, View, hsv_to_rgb
 ALL_PLANES = -1
 
 
+def _vectorized1(f):
+    """Evaluate a scalar callable on float32 arrays, falling back to a
+    per-element loop when it rejects array input."""
+    def samp(u):
+        try:
+            out = np.asarray(f(u), np.float32)
+            if out.shape != np.shape(u):
+                raise ValueError
+            return out
+        except Exception:
+            return np.asarray([float(f(float(x))) for x in np.ravel(u)],
+                              np.float32).reshape(np.shape(u))
+    return samp
+
+
+def _vectorized2(f):
+    """Evaluate an (x, y) callable on broadcastable float32 grids,
+    falling back to a per-element loop."""
+    def samp(u, yu):
+        ub, yb = np.broadcast_arrays(u, yu)
+        try:
+            out = np.asarray(f(ub, yb), np.float32)
+            if out.shape != ub.shape:
+                raise ValueError
+            return out
+        except Exception:
+            return np.asarray(
+                [float(f(float(a), float(b)))
+                 for a, b in zip(ub.ravel(), yb.ravel())],
+                np.float32).reshape(ub.shape)
+    return samp
+
+
 class WaveformMode:
     DIRECT = "direct"
     SYMMETRIC = "symmetric"
@@ -44,10 +77,13 @@ class Graph:
 
     def add_split_view_y(self, view: View, num_views: int,
                          start_plane: int = 0) -> None:
+        """Reference Graph.cpp:31-41 stacks the split V rects in
+        BOTTOM-UP pixel space (set_pixel flips): plane 0 gets the
+        BOTTOM strip. Our V rects are top-down, so count from y2."""
         for i in range(num_views):
             h = view.V.h / num_views
-            v = Rect(view.V.x1, view.V.y1 + i * h,
-                     view.V.x2, view.V.y1 + (i + 1) * h)
+            v = Rect(view.V.x1, view.V.y2 - (i + 1) * h,
+                     view.V.x2, view.V.y2 - i * h)
             self.views.append((start_plane + i, View(view.U, v)))
 
     def add_full_split_view_y(self, rect: Rect, num_views: int,
@@ -182,109 +218,168 @@ class Graph:
     def draw_waveform(self, data, rect: Optional[Rect] = None,
                       plane: int = ALL_PLANES,
                       color: Optional[Color] = None,
-                      mode: str = WaveformMode.DIRECT) -> None:
-        """data: 1-D array sampled across rect's x span, clamped [-1, 1]."""
+                      mode: str = WaveformMode.DIRECT,
+                      oversample: int = 4) -> None:
+        """Waveform from a 1-D buffer OR a callable of plane x
+        (reference Function<float,float> overload, Graph.cpp:69-120),
+        pixel-golden vs the compiled reference (buffer overload
+        :122-132): per pixel column, the f32 average of `oversample`
+        nearest-floor samples (oversample forced to 1 when n < width,
+        buffer form only), the AVERAGE clamped to [-1, 1] (individual
+        samples are not), fill from the truncated midline pixel toward
+        the truncated offset, gated to the view's pixel rows. DIRECT
+        fills midline->value (sign-directed); SYMMETRIC fills ±|value|
+        from the abs average."""
         if rect is None:
             rect = Rect(0, -1, 1, 1)
         if color is None:
             color = Color.white()
-        d = np.clip(np.asarray(data, np.float32), -1.0, 1.0)
-        n = len(d)
-        if n == 0:
-            return
+        if callable(data):
+            samp = _vectorized1(data)
+        else:
+            d = np.asarray(data, np.float32)
+            n = len(d)
+            if n == 0:
+                return
+            if n < self.width:
+                oversample = 1
+
+            def samp(u, _d=d, _n=n):
+                i = np.floor((np.float32(u) - np.float32(rect.x1))
+                             / np.float32(rect.w)
+                             * np.float32(_n)).astype(np.int64)
+                # the reference indexes UNCHECKED (UB outside the rect,
+                # Graph.cpp:127 commented-out guard); clamp instead
+                return _d[np.clip(i, 0, _n - 1)]
         for _, view in self._active_views(rect, plane):
             dr = rect.intersect(view.U)
             x_lo = int(math.ceil(view.x_u_to_v(dr.x1)))
             x_hi = int(math.floor(view.x_u_to_v(dr.x2)))
-            x_lo = max(x_lo, 0)
-            x_hi = min(x_hi, self.width)
-            if x_hi <= x_lo:
+            xs = np.arange(max(x_lo, 0),
+                           max(min(x_hi, self.width), 0))  # [lo, hi)
+            if xs.size == 0:
                 continue
-            xs = np.arange(x_lo, x_hi)
-            u = view.x_v_to_u(xs)
-            idx = ((u - rect.x1) / rect.w * n).astype(np.int64)
-            idx_next = np.minimum(
-                ((view.x_v_to_u(xs + 1) - rect.x1) / rect.w
-                 * n).astype(np.int64), n)
-            valid = (idx >= 0) & (idx < n)
-            mid = rect.y1 + rect.h / 2.0
-            half = rect.h / 2.0
-
-            lo_v = np.zeros(len(xs))
-            hi_v = np.zeros(len(xs))
-            sel = np.flatnonzero(valid)  # contiguous run (monotonic map)
-            if sel.size:
-                # per-column span reductions via reduceat: consecutive
-                # columns share boundaries (idx_next[k] == idx[k+1]); a
-                # non-increasing pair yields the single sample d[idx[k]],
-                # matching the i0+1 fallback of the scalar form
-                starts = np.clip(idx[sel], 0, n - 1)
-                end_last = int(idx_next[sel[-1]])
-                # reduceat bounds must lie in [0, n); when the final span
-                # already reaches the last sample, the implicit trailing
-                # segment [starts[-1], n) is exactly the span we want, so
-                # no extra bound is appended (appending n would raise).
-                end = max(end_last, int(starts[-1]) + 1)
-                if end < n:
-                    bounds = np.append(starts, end)
-                    trim = slice(0, -1)
-                else:
-                    bounds = starts
-                    trim = slice(None)
+            # f32 sequential subsample accumulation, as the reference
+            acc = np.zeros(len(xs), np.float32)
+            for s in range(oversample):
+                u = view.x_v_to_u(
+                    xs.astype(np.float32)
+                    + np.float32(s) / np.float32(oversample))
+                v = np.asarray(samp(u), np.float32)
                 if mode == WaveformMode.SYMMETRIC:
-                    amp = np.maximum.reduceat(np.abs(d), bounds)[trim]
-                    lo_v[sel], hi_v[sel] = -amp, amp
-                else:
-                    lo_v[sel] = np.minimum.reduceat(d, bounds)[trim]
-                    hi_v[sel] = np.maximum.reduceat(d, bounds)[trim]
-            y_top = view.y_u_to_v(mid + hi_v * half)
-            y_bot = view.y_u_to_v(mid + lo_v * half)
+                    v = np.abs(v)
+                acc = (acc + v).astype(np.float32)
+            avg = (acc / np.float32(oversample)).astype(np.float32)
+            off_u = (np.clip(avg, -1.0, 1.0).astype(np.float32)
+                     * np.float32(rect.h) / np.float32(2.0))
+            off = np.trunc((off_u * np.float32(view.V.h)
+                            / np.float32(view.U.h))).astype(np.int64)
+            mid = ((np.float32(rect.y1) + np.float32(rect.y2))
+                   / np.float32(2.0))
+            row_mid = self._row_trunc(view, float(mid))
+            # bottom-up fill [y_mid, y_mid+off] flips to rows
+            # [row_mid-off, row_mid] (inclusive both ends)
+            if mode == WaveformMode.SYMMETRIC:
+                r_lo = row_mid - off
+                r_hi = row_mid + off
+            else:
+                r_lo = np.minimum(row_mid, row_mid - off)
+                r_hi = np.maximum(row_mid, row_mid - off)
+            vy0, vy1 = int(view.V.y1), int(view.V.y2)
             rows = np.arange(self.height)[:, None]
-            mask = ((rows >= np.floor(y_top)[None, :])
-                    & (rows <= np.ceil(y_bot)[None, :])
-                    & valid[None, :])
-            self.image[:, x_lo:x_hi][mask] = color.as_array()
+            mask = ((rows >= r_lo[None, :]) & (rows <= r_hi[None, :])
+                    & (rows >= vy0) & (rows < vy1))
+            self.image[:, xs[0]:xs[-1] + 1][mask] = color.as_array()
 
     def draw_waveforms(self, datas: Sequence, rect: Optional[Rect] = None,
                        start_plane: int = 0,
-                       mode: str = WaveformMode.DIRECT) -> None:
+                       mode: str = WaveformMode.DIRECT,
+                       oversample: int = 4) -> None:
         for i, d in enumerate(datas):
             c = Color.from_hsv(360.0 * i / len(datas), 0.8, 0.65)
-            self.draw_waveform(d, rect, start_plane + i, c, mode)
+            self.draw_waveform(d, rect, start_plane + i, c, mode,
+                               oversample)
 
     # --- Spectrograms (reference Graph.cpp:157-230) -------------------------
     def draw_spectrogram(self, data, rect: Optional[Rect] = None,
-                         plane: int = ALL_PLANES, hue: float = 0.0) -> None:
-        """data: [n_x, n_y] values in [0, 1] -> HSV value plane."""
-        d = np.clip(np.asarray(data, np.float32), 0.0, 1.0)
-        n, m = d.shape
-        if rect is None:
-            rect = Rect(0, 0, n, m)
+                         plane: int = ALL_PLANES, hue: float = 0.0,
+                         oversample: int = 4) -> None:
+        """[n_x, n_y] magnitudes OR an (x, y) callable (reference
+        Function<vec2,float> overload, Graph.cpp:157-194) -> HSV value
+        plane, pixel-golden vs the compiled reference (buffer overload
+        :196-208): ceil/floor pixel bounds (end-exclusive),
+        int(sqrt(oversample))^2 nearest-floor subsamples averaged in
+        f32 per pixel, hue TRUNCATED to int at the from_hsv call
+        (Color.h takes int H), value clamped [0, 1]."""
+        if callable(data):
+            if rect is None:
+                rect = Rect(0, 0, 1, 1)
+            samp2 = _vectorized2(data)
+        else:
+            d = np.asarray(data, np.float32)
+            n, m = d.shape
+            if rect is None:
+                rect = Rect(0, 0, n, m)
+
+            def samp2(u, yu, _d=d, _n=n, _m=m):
+                i = np.floor((np.float32(u) - np.float32(rect.x1))
+                             / np.float32(rect.w)
+                             * np.float32(_n)).astype(np.int64)
+                j = np.floor((np.float32(yu) - np.float32(rect.y1))
+                             / np.float32(rect.h)
+                             * np.float32(_m)).astype(np.int64)
+                # reference indexes UNCHECKED (Graph.cpp:201
+                # commented-out guard); clamp instead
+                return _d[np.clip(i, 0, _n - 1), np.clip(j, 0, _m - 1)]
+        oc = int(math.sqrt(oversample))
         for _, view in self._active_views(rect, plane):
             dr = rect.intersect(view.U)
-            x_lo = max(int(math.ceil(view.x_u_to_v(dr.x1))), 0)
-            x_hi = min(int(math.floor(view.x_u_to_v(dr.x2))), self.width)
-            y_hi = min(int(math.floor(view.y_u_to_v(dr.y1))), self.height)
-            y_lo = max(int(math.ceil(view.y_u_to_v(dr.y2))), 0)
-            if x_hi <= x_lo or y_hi <= y_lo:
+            x_lo = int(math.ceil(view.x_u_to_v(dr.x1)))
+            x_hi = int(math.floor(view.x_u_to_v(dr.x2)))
+            xs = np.arange(max(x_lo, 0),
+                           max(min(x_hi, self.width), 0))   # [lo, hi)
+            # the reference's y loop runs in BOTTOM-UP pixels
+            # [ceil(yUToV(y1)), floor(yUToV(y2))) and set_pixel flips
+            yb_lo = int(math.ceil(float(
+                (np.float32(dr.y1) - np.float32(view.U.y1))
+                * np.float32(view.V.h) / np.float32(view.U.h)
+                + np.float32(self.height - view.V.y2))))
+            yb_hi = int(math.floor(float(
+                (np.float32(dr.y2) - np.float32(view.U.y1))
+                * np.float32(view.V.h) / np.float32(view.U.h)
+                + np.float32(self.height - view.V.y2))))
+            ybs = np.arange(max(yb_lo, 0),
+                            max(min(yb_hi, self.height), 0))
+            if xs.size == 0 or ybs.size == 0:
                 continue
-            xs = np.arange(x_lo, x_hi)
-            ys = np.arange(y_lo, y_hi)
-            ui = np.clip(((view.x_v_to_u(xs) - rect.x1) / rect.w
-                          * n).astype(np.int64), 0, n - 1)
-            vi = np.clip(((view.y_v_to_u(ys) - rect.y1) / rect.h
-                          * m).astype(np.int64), 0, m - 1)
-            vals = d[ui[None, :], vi[:, None]]
-            rgb = hsv_to_rgb(np.full_like(vals, hue), np.ones_like(vals),
-                             vals)
-            self.image[y_lo:y_hi, x_lo:x_hi] = rgb
+            acc = np.zeros((len(ybs), len(xs)), np.float32)
+            for ys_ in range(oc):           # reference nesting order
+                for xs_ in range(oc):
+                    u = view.x_v_to_u(xs.astype(np.float32)
+                                      + np.float32(xs_) / np.float32(oc))
+                    yb = (ybs.astype(np.float32)
+                          + np.float32(ys_) / np.float32(oc))
+                    yu = ((yb - np.float32(self.height - view.V.y2))
+                          * np.float32(view.U.h) / np.float32(view.V.h)
+                          + np.float32(view.U.y1))
+                    v = np.asarray(samp2(u[None, :], yu[:, None]),
+                                   np.float32)
+                    acc = (acc + v).astype(np.float32)
+            mag = (acc / np.float32(oc * oc)).astype(np.float32)
+            rgb = hsv_to_rgb(np.full_like(mag, int(hue)),
+                             np.ones_like(mag),
+                             np.clip(mag, 0.0, 1.0))
+            rows = self.height - 1 - ybs                 # flip to rows
+            self.image[rows[:, None], xs[None, :]] = rgb
 
     def draw_spectrograms(self, datas: Sequence,
                           rect: Optional[Rect] = None,
-                          start_plane: int = 0) -> None:
+                          start_plane: int = 0,
+                          oversample: int = 4) -> None:
         for i, d in enumerate(datas):
             self.draw_spectrogram(d, rect, start_plane + i,
-                                  hue=360.0 * i / len(datas))
+                                  hue=360.0 * i / len(datas),
+                                  oversample=oversample)
 
     # --- Functions (reference Graph.cpp:232-330) ----------------------------
     def draw_function(self, f, domain: Optional[Interval] = None,

@@ -82,12 +82,17 @@ class View:
                 - (h * np.float32(self.V.h)) / np.float32(self.U.h))
 
     def x_v_to_u(self, px):
-        return self.U.x1 + (np.asarray(px) - self.V.x1) / self.V.w * self.U.w
+        # f32, reference order (View.h:17-23: (x - V.x1) * U.w / V.w
+        # + U.x1)
+        w = np.float32(px) - np.float32(self.V.x1)
+        return ((w * np.float32(self.U.w)) / np.float32(self.V.w)
+                + np.float32(self.U.x1))
 
     def y_v_to_u(self, py):
-        # inverse of y_u_to_v's height-1 flip
-        return self.U.y1 + (self.V.y2 - 1
-                            - np.asarray(py)) / self.V.h * self.U.h
+        # inverse of y_u_to_v's height-1 flip; f32 like x_v_to_u
+        h = np.float32(self.V.y2 - 1) - np.float32(py)
+        return ((h * np.float32(self.U.h)) / np.float32(self.V.h)
+                + np.float32(self.U.y1))
 
     def w_v_to_u(self, px):
         """Pixel width -> plane width (reference View.h wVToU)."""

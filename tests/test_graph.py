@@ -62,12 +62,14 @@ def test_draw_function_and_axes():
 
 
 def test_draw_waveform_matches_scalar_oracle():
-    """The reduceat rasterization equals the per-column scalar form
-    (reference Graph.cpp:69-150)."""
+    """The vectorized rasterization equals the reference's per-column
+    scalar form (Graph.cpp:69-132): f32 average of 4 nearest-floor
+    subsamples, truncated pixel offset, inclusive fill from the
+    truncated midline (pinned pixel-golden in test_algo_golden)."""
     from flan_tpu import Rect
     from flan_tpu.graph.graph import WaveformMode
     rng = np.random.default_rng(7)
-    d = np.clip(rng.standard_normal(1000).astype(np.float32), -1, 1)
+    d = rng.standard_normal(1000).astype(np.float32) * 0.8
     for mode in (WaveformMode.DIRECT, WaveformMode.SYMMETRIC):
         g = Graph(200, 64)
         g.set_view(Rect(0, -1, 1, 1))
@@ -76,24 +78,29 @@ def test_draw_waveform_matches_scalar_oracle():
         img = g.to_uint8()
         view = g.views[0][1]
         n = len(d)
+        row_mid = g._row_trunc(view, 0.0)
         for x in (0, 37, 101, 198):
-            u0 = view.x_v_to_u(np.array([x]))[0]
-            u1 = view.x_v_to_u(np.array([x + 1]))[0]
-            i0 = int(u0 * n)
-            i1 = min(int(u1 * n), n)
-            if not (0 <= i0 < n):
-                continue
-            span = d[i0:max(i1, i0 + 1)]
+            acc = np.float32(0.0)
+            for s in range(4):
+                u = np.float32(view.x_v_to_u(
+                    np.float32(x) + np.float32(s) / np.float32(4)))
+                i = int(np.floor(u / np.float32(1.0) * np.float32(n)))
+                v = d[min(max(i, 0), n - 1)]
+                acc = np.float32(
+                    acc + (abs(v) if mode == WaveformMode.SYMMETRIC
+                           else v))
+            avg = np.float32(acc / np.float32(4))
+            off = int(np.trunc(np.float32(
+                np.clip(avg, -1, 1) * np.float32(1.0))
+                * np.float32(64) / np.float32(2)))
             if mode == WaveformMode.SYMMETRIC:
-                hi, lo = float(np.abs(span).max()), -float(np.abs(span).max())
+                want = set(range(row_mid - off, row_mid + off + 1))
             else:
-                lo, hi = float(span.min()), float(span.max())
-            y_top = view.y_u_to_v(np.array([hi]))[0]
-            y_bot = view.y_u_to_v(np.array([lo]))[0]
-            lit = np.nonzero(img[:, x].max(axis=-1) > 200)[0]
-            assert lit.size
-            assert abs(lit.min() - np.floor(y_top)) <= 1
-            assert abs(lit.max() - np.ceil(y_bot)) <= 1
+                want = set(range(min(row_mid, row_mid - off),
+                                 max(row_mid, row_mid - off) + 1))
+            want = {r for r in want if 0 <= r < 64}
+            lit = set(np.nonzero(img[:, x].max(axis=-1) > 200)[0].tolist())
+            assert lit == want, (mode, x, sorted(lit), sorted(want))
 
 
 def test_draw_function_scalar_only_callable():

@@ -752,6 +752,67 @@ int main(int argc, char** argv) {
                      Color::from_hsv(0, 0, 0.1f));
         g.save_image(g_dir + "graph_rich.bmp");
     }
+    {
+        // waveforms: the buffer overload's 4x oversampled column
+        // averages (Graph.cpp:68-132), both modes, over a 2-plane split
+        const int wn = 700;                // > width: oversample stays 4
+        std::vector<float> wsig(wn);
+        for (int i = 0; i < wn; ++i) {
+            const double t = (double)i / wn;
+            wsig[i] = (float)(0.8 * std::sin(2.0 * M_PI * 13.0 * t)
+                              + 0.35 * std::sin(2.0 * M_PI * 47.0 * t
+                                                + 0.9));
+        }
+        Graph g(128, 96);
+        g.add_full_split_view_y(Rect(0, -1, 1, 1), 2);
+        g.fill_image(Color::from_hsv(0, 0, 0.04f));
+        g.draw_waveform(wsig.data(), wn, Rect(0, -1, 1, 1), 0,
+                        Color::from_hsv(0, 0.8f, 0.65f),
+                        Graph::WaveformMode::Direct, 4);
+        g.draw_waveform(wsig.data(), wn, Rect(0, -1, 1, 1), 1,
+                        Color::from_hsv(180, 0.8f, 0.65f),
+                        Graph::WaveformMode::Symmetric, 4);
+        g.save_image(g_dir + "graph_waveform.bmp");
+    }
+    {
+        // the Function<float,float> waveform overload (Graph.h:97,
+        // Graph.cpp:69-120): f32-exact polynomial, ALL planes over a
+        // 2-plane split, oversample NOT forced to 1
+        Graph g(112, 80);
+        g.add_full_split_view_y(Rect(0, -1, 1, 1), 2);
+        g.fill_image(Color::from_hsv(0, 0, 0.04f));
+        g.draw_waveform([](float x) { return 1.6f * x * x - 0.8f; },
+                        Rect(0, -1, 1, 1), Graph::Plane::All,
+                        Color::from_hsv(40, 0.8f, 0.65f),
+                        Graph::WaveformMode::Direct, 4);
+        g.save_image(g_dir + "graph_waveform_fn.bmp");
+    }
+    {
+        // the Function<vec2,float> spectrogram overload (Graph.h:156,
+        // Graph.cpp:157-194): f32-exact product field
+        Graph g(80, 56);
+        g.add_full_split_view_y(Rect(0, 0, 1, 1), 1);
+        g.fill_image(Color::from_hsv(0, 0, 0.04f));
+        g.draw_spectrogram([](vec2 xy) { return xy.x() * xy.y(); },
+                           Rect(0, 0, 1, 1), 0, 95.0f, 4);
+        g.save_image(g_dir + "graph_spectrogram_fn.bmp");
+    }
+    {
+        // spectrogram: 2x2 subsample average + HSV magnitude colors
+        // with a FRACTIONAL hue (truncated at the int from_hsv call)
+        const int sn = 40, sm = 24;
+        std::vector<float> spec((size_t)sn * sm);
+        for (int i = 0; i < sn; ++i)
+            for (int j = 0; j < sm; ++j)
+                spec[(size_t)i * sm + j] = (float)(
+                    0.5 + 0.5 * std::sin(0.37 * i) * std::cos(0.61 * j));
+        Graph g(96, 64);
+        g.add_full_split_view_y(Rect(0, 0, 1, 1), 1);
+        g.fill_image(Color::from_hsv(0, 0, 0.04f));
+        g.draw_spectrogram(spec.data(), sn, sm, Rect(0, 0, 1, 1), 0,
+                           220.7f, 4);
+        g.save_image(g_dir + "graph_spectrogram.bmp");
+    }
 
     std::printf("algo fixtures written to %s\n", g_dir.c_str());
     return 0;
