@@ -642,14 +642,18 @@ class Graph:
         digits += [int(c) for c in str(q)]
         digits.append(10)
         digits += [int(c) for c in f"{r:03d}"]
-        x, y = pos
+        x, y = np.float32(pos[0]), np.float32(pos[1])
         for _, view in self._active_views(
                 Rect(-np.inf, -np.inf, np.inf, np.inf), plane):
-            w = float(view.w_v_to_u(digit_width))
-            h = float(view.h_v_to_u(digit_height))
+            # f32 box arithmetic in the reference's order
+            # (Graph.cpp:613-645: w = wVToU, y2 = y + hVToU, f32
+            # xPos += w accumulation, strokes at x1 + w * px)
+            w = np.float32(view.w_v_to_u(digit_width))
+            y2 = np.float32(y + np.float32(view.h_v_to_u(digit_height)))
             x_pos = x
             for d in digits:
-                box = Rect(x_pos, y, x_pos + w, y + h)
+                box = Rect(float(x_pos), float(y),
+                           float(np.float32(x_pos + w)), float(y2))
                 clipped = box.intersect(view.U)
                 if (clipped.x1, clipped.y1, clipped.x2, clipped.y2) != (
                         box.x1, box.y1, box.x2, box.y2):
@@ -657,43 +661,102 @@ class Graph:
                     # this view) once a digit leaves the view
                     # (Graph.cpp:647)
                     return
+                bw = np.float32(box.w)
+                bh = np.float32(box.h)
                 ps = self._DIGIT_PATHS.get(
                     d, [(.15, 0), (.85, 0), (.15, 1), (.85, 1), (.15, 0)])
                 for (ax, ay), (bx, by) in zip(ps[:-1], ps[1:]):
                     self.draw_line_segment(
-                        view, box.x1 + box.w * ax, box.y1 + box.h * ay,
-                        box.x1 + box.w * bx, box.y1 + box.h * by, color)
-                x_pos += w
+                        view,
+                        float(np.float32(box.x1)
+                              + bw * np.float32(ax)),
+                        float(np.float32(box.y1)
+                              + bh * np.float32(ay)),
+                        float(np.float32(box.x1)
+                              + bw * np.float32(bx)),
+                        float(np.float32(box.y1)
+                              + bh * np.float32(by)), color)
+                x_pos = np.float32(x_pos + w)
 
-    def draw_x_ticks(self, jump: float, y: float = 0.0,
-                     offset: float = 0.0, size: float = 4.0,
+    def draw_x_ticks(self, jump: float, y: float,
+                     scale_base: float = 1.0,
+                     offset_down: int = 4, offset_up: int = 4,
                      plane: int = ALL_PLANES,
                      color: Optional[Color] = None,
-                     label_size: float = 0.0) -> None:
-        color = color or Color.white()
-        for _, view in self.views:
-            start = math.ceil(view.U.x1 / jump) * jump
-            for x in np.arange(start, view.U.x2, jump):
-                px = int(round(view.x_u_to_v(x)))
-                py = int(round(view.y_u_to_v(y)))
-                lo = max(py - int(size), 0)
-                hi = min(py + int(size), self.height - 1)
-                if 0 <= px < self.width and hi >= lo:
-                    self.image[lo:hi + 1, px] = color.as_array()
+                     number_scale: float = 0.0) -> None:
+        """Vertical tick strokes at multiples of jump along the line
+        plane-y, spanning offset_down/offset_up PIXELS converted to
+        plane heights and clamped to the view (reference
+        Graph.cpp:459-495). With number_scale > 0, each tick is
+        labelled pow(scale_base, x) via draw_float 12 pixels below the
+        stroke — scale_base 1 labels every tick '1.000' (upstream
+        callers pass 1, AudioGraph.cpp:42). f32 x accumulation."""
+        color = color or Color.black()
+        if jump <= 0:
+            return
+        for _, view in self._active_views(
+                Rect(-np.inf, -np.inf, np.inf, np.inf), plane):
+            y_start = float(np.clip(
+                np.float32(y) - np.float32(view.h_v_to_u(offset_down)),
+                np.float32(view.U.y1), np.float32(view.U.y2)))
+            y_end = float(np.clip(
+                np.float32(y) + np.float32(view.h_v_to_u(offset_up)),
+                np.float32(view.U.y1), np.float32(view.U.y2)))
+            x = np.float32(np.ceil(np.float32(view.U.x1)
+                                   / np.float32(jump)) * np.float32(jump))
+            x_end = np.float32(np.floor(np.float32(view.U.x2)
+                                        / np.float32(jump))
+                               * np.float32(jump))
+            while x <= x_end:
+                self.draw_vertical_line(view, y_start, y_end, float(x),
+                                        color)
+                if number_scale > 0:
+                    number = float(np.power(np.float32(scale_base), x))
+                    self.draw_float(
+                        (float(x),
+                         float(np.float32(y_start)
+                               - np.float32(view.h_v_to_u(12)))),
+                        int(number_scale * 4 / 5), int(number_scale),
+                        number, plane, color)
+                x = np.float32(x + np.float32(jump))
 
-    def draw_y_ticks(self, jump: float, x: float = 0.0, size: float = 4.0,
+    def draw_y_ticks(self, jump: float, x: float,
+                     scale_base: float = 1.0,
+                     offset_left: int = 4, offset_right: int = 4,
                      plane: int = ALL_PLANES,
-                     color: Optional[Color] = None) -> None:
-        color = color or Color.white()
-        for _, view in self.views:
-            start = math.ceil(view.U.y1 / jump) * jump
-            for y in np.arange(start, view.U.y2, jump):
-                px = int(round(view.x_u_to_v(x)))
-                py = int(round(view.y_u_to_v(y)))
-                lo = max(px - int(size), 0)
-                hi = min(px + int(size), self.width - 1)
-                if 0 <= py < self.height and hi >= lo:
-                    self.image[py, lo:hi + 1] = color.as_array()
+                     color: Optional[Color] = None,
+                     number_scale: float = 0.0) -> None:
+        """Horizontal tick strokes at multiples of jump along the line
+        plane-x (reference Graph.cpp:497-533); labels pow(scale_base, y)
+        at the stroke's right end, half a 10-pixel height below."""
+        color = color or Color.black()
+        if jump <= 0:
+            return
+        for _, view in self._active_views(
+                Rect(-np.inf, -np.inf, np.inf, np.inf), plane):
+            x_start = float(np.clip(
+                np.float32(x) - np.float32(view.w_v_to_u(offset_left)),
+                np.float32(view.U.x1), np.float32(view.U.x2)))
+            x_end = float(np.clip(
+                np.float32(x) + np.float32(view.w_v_to_u(offset_right)),
+                np.float32(view.U.x1), np.float32(view.U.x2)))
+            y = np.float32(np.ceil(np.float32(view.U.y1)
+                                   / np.float32(jump)) * np.float32(jump))
+            y_end = np.float32(np.floor(np.float32(view.U.y2)
+                                        / np.float32(jump))
+                               * np.float32(jump))
+            while y <= y_end:
+                self.draw_horizontal_line(view, x_start, x_end, float(y),
+                                          color)
+                if number_scale > 0:
+                    number = float(np.power(np.float32(scale_base), y))
+                    self.draw_float(
+                        (x_end,
+                         float(y - np.float32(0.5)
+                               * np.float32(view.h_v_to_u(10)))),
+                        int(number_scale * 4 / 5), int(number_scale),
+                        number, plane, color)
+                y = np.float32(y + np.float32(jump))
 
     # --- I/O -----------------------------------------------------------------
     def to_uint8(self) -> np.ndarray:

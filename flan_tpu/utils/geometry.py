@@ -95,12 +95,16 @@ class View:
                 + np.float32(self.U.y1))
 
     def w_v_to_u(self, px):
-        """Pixel width -> plane width (reference View.h wVToU)."""
-        return np.asarray(px) / self.V.w * self.U.w
+        """Pixel width -> plane width (reference View.h:17 wVToU),
+        f32 in the reference order (w * U.w) / V.w."""
+        return ((np.float32(px) * np.float32(self.U.w))
+                / np.float32(self.V.w))
 
     def h_v_to_u(self, px):
-        """Pixel height -> plane height (reference View.h hVToU)."""
-        return np.asarray(px) / self.V.h * self.U.h
+        """Pixel height -> plane height (reference View.h:18 hVToU),
+        f32 in the reference order (h * U.h) / V.h."""
+        return ((np.float32(px) * np.float32(self.U.h))
+                / np.float32(self.V.h))
 
 
 @dataclass(frozen=True)

@@ -70,6 +70,8 @@ g++ -std=c++20 -O2 -I "$BUILD" -I "$REF/src" -I "$HERE/stubs" \
     "$REF/src/flan/PV/PrismFunc.cpp" \
     "$REF/src/flan/Conversions/AudioSPV.cpp" \
     "$REF/src/flan/Conversions/AudioPV.cpp" \
+    "$REF/src/flan/Conversions/AudioGraph.cpp" \
+    "$REF/src/flan/Conversions/PVGraph.cpp" \
     "$REF/src/flan/Audio/AudioBuffer.cpp" \
     "$REF/src/flan/Audio/AudioChannels.cpp" \
     "$REF/src/flan/Audio/AudioConstructors.cpp" \

@@ -814,6 +814,67 @@ int main(int argc, char** argv) {
         g.save_image(g_dir + "graph_spectrogram.bmp");
     }
 
+    {
+        // tick strokes + pow(scale_base, x) digit labels over a 2-plane
+        // split (Graph.cpp:459-533): x ticks on ALL planes with labels
+        // (incl. an off-view label abort), y ticks plane-filtered
+        Graph g(140, 100);
+        g.add_full_split_view_y(Rect(-3, -2, 9, 6), 2);
+        g.fill_image(Color::from_hsv(0, 0, 0.04f));
+        g.draw_x_ticks(2.0f, 6.0f, 2.0f, 8, 3, -1,
+                       Color::from_hsv(0, 0, 0.9f), 8.0f);
+        g.draw_y_ticks(2.0f, -3.0f, 10.0f, 2, 30, 1,
+                       Color::from_hsv(120, 0.7f, 0.8f), 0.0f);
+        g.save_image(g_dir + "graph_ticks.bmp");
+    }
+    {
+        // Audio::convert_to_graph (AudioGraph.cpp:15-53): sub-interval
+        // view over full-length waveforms + labelled timeline ticks
+        const float sr = 4000.0f;
+        const int n = 2000, C = 2;
+        std::vector<float> sig((size_t)C * n);
+        for (int c = 0; c < C; ++c)
+            for (int i = 0; i < n; ++i) {
+                const double t = (double)i / sr;
+                sig[(size_t)c * n + i] = (float)(
+                    0.7 * std::sin(2.0 * M_PI * (50.0 + 30.0 * c) * t)
+                    + 0.2 * std::sin(2.0 * M_PI * 523.0 * t + 0.3 * c));
+            }
+        const Audio a = Audio::create_from_buffer(
+            std::vector<float>(sig), C, sr);
+        Graph g = a.convert_to_graph(Interval(0.1f, 0.35f), 180, 110,
+                                     Graph::WaveformMode::Symmetric,
+                                     8.0f);
+        g.save_image(g_dir + "graph_audio_conv.bmp");
+    }
+    {
+        // PV::convert_to_graph (PVGraph.cpp:6-49): windowed max quirk,
+        // continuous log2(2+freq) value field, labelled ticks at D.y2
+        PV pv = make_input_pv();
+        Graph g = pv.convert_to_graph(Rect(0.002f, 300.0f, 0.02f,
+                                           1800.0f), 120, 90, 6.0f);
+        g.save_image(g_dir + "graph_pv_conv.bmp");
+        Graph g2 = pv.convert_to_graph(Rect(0, 0, -1, -1), 120, 90, 0.0f);
+        g2.save_image(g_dir + "graph_pv_conv_full.bmp");
+    }
+    {
+        // Audio::convert_to_spectrum_graph (AudioGraph.cpp:55-131):
+        // near-exact oracle (FFT/convolve are f32-library-dependent)
+        const float sr = 4000.0f;
+        const int n = 1500;
+        std::vector<float> sig(n);
+        for (int i = 0; i < n; ++i) {
+            const double t = (double)i / sr;
+            sig[i] = (float)(0.6 * std::sin(2.0 * M_PI * 220.0 * t)
+                             + 0.3 * std::sin(2.0 * M_PI * 700.0 * t)
+                             + 0.1 * std::sin(2.0 * M_PI * 1500.0 * t));
+        }
+        const Audio a = Audio::create_from_buffer(
+            std::vector<float>(sig), 1, sr);
+        Graph g = a.convert_to_spectrum_graph(150, 100, 64);
+        g.save_image(g_dir + "graph_spectrum_conv.bmp");
+    }
+
     std::printf("algo fixtures written to %s\n", g_dir.c_str());
     return 0;
 }
